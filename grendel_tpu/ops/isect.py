@@ -1,0 +1,104 @@
+"""Tile intersection: build per-tile, depth-ordered Gaussian lists.
+
+TPU-native replacement for the reference rasterizer's duplication +
+(tile, depth) radix-sort stage (SURVEY.md §2.9/§2.10: the CUDA backends'
+``isect_tiles`` / per-tile key sort). Everything is static-shape: entry
+buffers are padded to a fixed ``capacity`` chosen by the host (re-tuned at
+densification boundaries, which are already recompile points).
+
+Algorithm (all dense XLA ops, no scatter):
+  1. argsort Gaussians by view depth (culled -> +inf, sort to the end);
+  2. per Gaussian, the rect of tiles its 3-sigma box overlaps (same rect
+     convention as the reference kernels) and its entry count;
+  3. expand to a flat entry list of length ``capacity`` via
+     cumsum + searchsorted (entry e -> owning Gaussian via binary search);
+  4. stable-sort entries by tile id — entries were generated in depth
+     order, so each tile's sublist stays depth-sorted;
+  5. per-tile start offsets via searchsorted.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+class TileIntersections(NamedTuple):
+    gauss_ids: Array     # (capacity,) int32 — original Gaussian index per entry
+    tile_offsets: Array  # (num_tiles + 1,) int32 — entry span of tile t
+    num_isects: Array    # () int32 — true total (may exceed capacity => overflow)
+
+
+def gaussian_tile_rect(means2d: Array, radii: Array, tile_w: int, tile_h: int,
+                       tiles_x: int, tiles_y: int):
+    """Inclusive-exclusive tile rect [x0,x1) x [y0,y1) of each Gaussian's bbox.
+
+    Matches the reference kernels' getRect convention (truncating float
+    division of the 3-sigma box corners by the tile size).
+    """
+    r = radii.astype(jnp.float32)
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / tile_w), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / tile_h), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + r + tile_w - 1) / tile_w), 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + r + tile_h - 1) / tile_h), 0, tiles_y).astype(jnp.int32)
+    visible = radii > 0
+    spanx = jnp.where(visible, x1 - x0, 0)
+    spany = jnp.where(visible, y1 - y0, 0)
+    return x0, y0, spanx, spany
+
+
+def isect_tiles(
+    means2d: Array,      # (N,2)
+    radii: Array,        # (N,) int32, 0 = culled
+    depths: Array,       # (N,) view z (+inf for culled)
+    tile_w: int,
+    tile_h: int,
+    tiles_x: int,
+    tiles_y: int,
+    capacity: int,
+) -> TileIntersections:
+    num_tiles = tiles_x * tiles_y
+
+    # 1. depth order (culled Gaussians have depth=+inf already)
+    order = jnp.argsort(depths)
+    m2d = means2d[order]
+    rad = radii[order]
+
+    # 2. tile rects in depth order
+    x0, y0, spanx, spany = gaussian_tile_rect(m2d, rad, tile_w, tile_h, tiles_x, tiles_y)
+    counts = spanx * spany
+    cum = jnp.cumsum(counts)                       # inclusive
+    total = cum[-1]
+
+    # 3. expand: entry e belongs to depth-rank g with cum[g-1] <= e < cum[g]
+    e = jnp.arange(capacity, dtype=jnp.int32)
+    g = jnp.searchsorted(cum, e, side="right").astype(jnp.int32)
+    g = jnp.clip(g, 0, m2d.shape[0] - 1)
+    start = cum[g] - counts[g]
+    within = e - start
+    sx = jnp.maximum(spanx[g], 1)
+    dy = within // sx
+    dx = within - dy * sx
+    ty = y0[g] + dy
+    tx = x0[g] + dx
+    valid = e < total
+    tile = jnp.where(valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+
+    # 4. stable sort by tile id, carrying the original Gaussian index
+    gid = order[g].astype(jnp.int32)
+    tile_sorted, gid_sorted = jax.lax.sort_key_val(tile, gid, is_stable=True)
+
+    # 5. per-tile offsets
+    tile_offsets = jnp.searchsorted(
+        tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+
+    return TileIntersections(
+        gauss_ids=gid_sorted,
+        tile_offsets=tile_offsets,
+        num_isects=total.astype(jnp.int32),
+    )

