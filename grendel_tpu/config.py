@@ -1,0 +1,158 @@
+"""Configuration dataclasses for training / rendering.
+
+Mirrors the reference's argparse ParamGroups (behavioral parity target:
+/root/reference/arguments/__init__.py:85-201 — ModelParams, PipelineParams,
+OptimizationParams, DistributionParams, BenchmarkParams, DebugParams) as
+plain dataclasses. CLI wiring lives in grendel_tpu/cli/; the dataclasses are
+the single source of truth for defaults.
+
+TPU-specific additions are grouped at the bottom of each class and marked
+"(tpu)": padded-capacity sizing, tile-buffer capacities, mesh shape. These
+have no reference counterpart because the reference relies on dynamic
+shapes; on TPU every shape is static and capacity is explicit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Scene/model-level options (ref: ModelParams, arguments/__init__.py:85-98)."""
+
+    sh_degree: int = 3
+    source_path: str = ""
+    model_path: str = ""
+    images: str = "images"
+    resolution: int = -1
+    white_background: bool = False
+    eval: bool = False
+    llffhold: int = 8
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    """Render pipeline options (ref: PipelineParams + tile constants)."""
+
+    # Tile size. The reference hardwires 16x16 (BLOCK_X/Y,
+    # utils/general_utils.py:78-79); on TPU the flattened tile is the VPU
+    # vector axis so we default to 16x16 = 256 px = 2 sublanes x 128 lanes.
+    tile_w: int = 16
+    tile_h: int = 16
+    # (tpu) static capacities for the isect entry list / per-tile walk.
+    isect_capacity_factor: float = 8.0   # capacity = factor * N (re-tuned on overflow)
+    max_per_tile: int = 2048             # per-tile blend depth cutoff
+    chunk: int = 64                      # gaussians blended per scan step
+    debug: bool = False
+
+
+@dataclasses.dataclass
+class OptimizationConfig:
+    """Optimizer + densification schedule (ref: OptimizationParams,
+    arguments/__init__.py:107-133)."""
+
+    iterations: int = 30_000
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    lr_scale_loss: float = 1.0
+    lr_scale_pos_and_scale: float = 1.0
+    percent_dense: float = 0.01
+    lambda_dssim: float = 0.2
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15_000
+    densify_grad_threshold: float = 0.0002
+    densify_memory_limit_percentage: float = 0.9
+    disable_auto_densification: bool = False
+    opacity_reset_until_iter: int = -1   # -1 -> densify_until_iter + bsz (init fixup)
+    random_background: bool = False
+    min_opacity: float = 0.005
+    lr_scale_mode: str = "sqrt"          # "linear" | "sqrt" | "accumu"
+    adam_eps: float = 1e-15
+    adam_betas: Tuple[float, float] = (0.9, 0.999)
+    # (tpu) capacity management: grow when alive fraction exceeds this.
+    capacity_growth_trigger: float = 0.9
+    capacity_growth_factor: float = 2.0
+
+
+@dataclasses.dataclass
+class DistributionConfig:
+    """Parallelism axes (ref: DistributionParams, arguments/__init__.py:136-174)."""
+
+    image_distribution: bool = True
+    heuristic_decay: float = 0.0
+    no_heuristics_update: bool = False
+    adjust_strategy_warmp_iterations: int = -1   # -1 -> one epoch (train fixup)
+    save_strategy_history: bool = False
+
+    gaussians_distribution: bool = True
+    redistribute_gaussians_mode: str = "random_redistribute"  # | "no_redistribute"
+    redistribute_gaussians_frequency: int = 10
+    redistribute_gaussians_threshold: float = 1.1
+
+    bsz: int = 1
+    distributed_dataset_storage: bool = True
+    distributed_save: bool = True
+    local_sampling: bool = False
+    preload_dataset_to_gpu: bool = False
+    preload_dataset_to_gpu_threshold: int = 10   # GB
+    num_train_cameras: int = -1
+    num_test_cameras: int = -1
+
+    # (tpu) mesh + all2all static capacities.
+    mesh_axis: str = "d"
+    a2a_capacity_factor: float = 2.0     # per-dest send capacity = factor * ceil(N_local_visible_est)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Top-level bundle passed around the training stack."""
+
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    pipeline: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+    opt: OptimizationConfig = dataclasses.field(default_factory=OptimizationConfig)
+    dist: DistributionConfig = dataclasses.field(default_factory=DistributionConfig)
+
+    test_iterations: List[int] = dataclasses.field(default_factory=lambda: [7_000, 30_000])
+    save_iterations: List[int] = dataclasses.field(default_factory=lambda: [7_000, 30_000])
+    checkpoint_iterations: List[int] = dataclasses.field(default_factory=list)
+    start_checkpoint: Optional[str] = None
+    auto_start_checkpoint: bool = False
+    seed: int = 0
+    log_interval: int = 250
+    enable_timer: bool = False
+
+    def finalize(self) -> "TrainConfig":
+        """Post-parse constraint propagation (ref: init_args,
+        arguments/__init__.py:275-315)."""
+        if self.opt.opacity_reset_until_iter == -1:
+            self.opt.opacity_reset_until_iter = (
+                self.opt.densify_until_iter + self.dist.bsz
+            )
+        self.test_iterations.sort()
+        self.save_iterations.sort()
+        if self.save_iterations and self.opt.iterations not in self.save_iterations:
+            self.save_iterations.append(self.opt.iterations)
+        self.checkpoint_iterations.sort()
+        if self.dist.preload_dataset_to_gpu:
+            self.dist.distributed_dataset_storage = False
+            self.dist.local_sampling = False
+        return self
+
+
+def check_update_at_this_iter(iteration: int, bsz: int, interval: int,
+                              residual: int) -> bool:
+    """Batch-aware schedule predicate: does [iteration, iteration+bsz) cross a
+    multiple of ``interval`` (+residual)? (ref: utils/general_utils.py:146-158)."""
+    rl = iteration % interval
+    rr = rl + bsz
+    return (rl <= residual < rr) or (rl <= residual + interval < rr)

@@ -1,0 +1,9 @@
+from .readers import (  # noqa: F401
+    CameraInfo,
+    SceneInfo,
+    PointCloud,
+    read_colmap_scene,
+    read_blender_scene,
+    nerfpp_norm,
+)
+from .scene import Scene, SceneDataset  # noqa: F401

@@ -1,0 +1,192 @@
+"""COLMAP sparse-reconstruction parsers (cameras/images/points3D, bin + txt).
+
+Implements the public COLMAP binary/text file formats
+(https://colmap.github.io/format.html) from the format spec — the same
+formats parsed by the reference's scene/colmap_loader.py:106-346. Pure
+numpy, host-side, one-shot at scene load.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, NamedTuple, Tuple
+
+import numpy as np
+
+
+class ColmapCamera(NamedTuple):
+    id: int
+    model: str
+    width: int
+    height: int
+    params: np.ndarray
+
+
+class ColmapImage(NamedTuple):
+    id: int
+    qvec: np.ndarray     # (4,) [w, x, y, z]
+    tvec: np.ndarray     # (3,)
+    camera_id: int
+    name: str
+
+
+# COLMAP camera model id -> (name, num_params); public format table.
+CAMERA_MODELS = {
+    0: ("SIMPLE_PINHOLE", 3),
+    1: ("PINHOLE", 4),
+    2: ("SIMPLE_RADIAL", 4),
+    3: ("RADIAL", 5),
+    4: ("OPENCV", 8),
+    5: ("OPENCV_FISHEYE", 8),
+    6: ("FULL_OPENCV", 12),
+    7: ("FOV", 5),
+    8: ("SIMPLE_RADIAL_FISHEYE", 4),
+    9: ("RADIAL_FISHEYE", 5),
+    10: ("THIN_PRISM_FISHEYE", 12),
+}
+_MODEL_NAME_TO_ID = {name: mid for mid, (name, _) in CAMERA_MODELS.items()}
+
+
+def qvec_to_rotmat(qvec: np.ndarray) -> np.ndarray:
+    """Quaternion [w,x,y,z] -> 3x3 rotation matrix (COLMAP convention)."""
+    w, x, y, z = qvec
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _read(f, n: int, fmt: str):
+    return struct.unpack("<" + fmt, f.read(n))
+
+
+def read_cameras_binary(path: str) -> Dict[int, ColmapCamera]:
+    cams: Dict[int, ColmapCamera] = {}
+    with open(path, "rb") as f:
+        (num,) = _read(f, 8, "Q")
+        for _ in range(num):
+            cam_id, model_id, width, height = _read(f, 24, "iiQQ")
+            name, n_params = CAMERA_MODELS[model_id]
+            params = np.array(_read(f, 8 * n_params, "d" * n_params))
+            cams[cam_id] = ColmapCamera(cam_id, name, int(width), int(height), params)
+    return cams
+
+
+def read_images_binary(path: str) -> Dict[int, ColmapImage]:
+    images: Dict[int, ColmapImage] = {}
+    with open(path, "rb") as f:
+        (num,) = _read(f, 8, "Q")
+        for _ in range(num):
+            vals = _read(f, 64, "idddddddi")
+            image_id = vals[0]
+            qvec = np.array(vals[1:5])
+            tvec = np.array(vals[5:8])
+            camera_id = vals[8]
+            name_bytes = b""
+            while True:
+                c = f.read(1)
+                if c == b"\x00":
+                    break
+                name_bytes += c
+            (n_pts,) = _read(f, 8, "Q")
+            f.seek(24 * n_pts, os.SEEK_CUR)   # skip 2D points (x, y, point3D_id)
+            images[image_id] = ColmapImage(
+                image_id, qvec, tvec, camera_id, name_bytes.decode("utf-8")
+            )
+    return images
+
+
+def read_points3d_binary(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (xyz (N,3) f64, rgb (N,3) u8, error (N,) f64)."""
+    with open(path, "rb") as f:
+        (num,) = _read(f, 8, "Q")
+        xyz = np.empty((num, 3))
+        rgb = np.empty((num, 3), dtype=np.uint8)
+        err = np.empty((num,))
+        for i in range(num):
+            vals = _read(f, 43, "QdddBBBd")
+            xyz[i] = vals[1:4]
+            rgb[i] = vals[4:7]
+            err[i] = vals[7]
+            (track_len,) = _read(f, 8, "Q")
+            f.seek(8 * track_len, os.SEEK_CUR)  # skip track (image_id, point2D_idx)
+    return xyz, rgb, err
+
+
+def read_cameras_text(path: str) -> Dict[int, ColmapCamera]:
+    cams: Dict[int, ColmapCamera] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            cam_id = int(parts[0])
+            cams[cam_id] = ColmapCamera(
+                cam_id, parts[1], int(parts[2]), int(parts[3]),
+                np.array([float(p) for p in parts[4:]]),
+            )
+    return cams
+
+
+def read_images_text(path: str) -> Dict[int, ColmapImage]:
+    images: Dict[int, ColmapImage] = {}
+    with open(path) as f:
+        lines = [l.strip() for l in f if l.strip() and not l.startswith("#")]
+    # alternating lines: image header / 2D points
+    for header in lines[0::2]:
+        parts = header.split()
+        image_id = int(parts[0])
+        qvec = np.array([float(p) for p in parts[1:5]])
+        tvec = np.array([float(p) for p in parts[5:8]])
+        camera_id = int(parts[8])
+        name = parts[9]
+        images[image_id] = ColmapImage(image_id, qvec, tvec, camera_id, name)
+    return images
+
+
+def read_points3d_text(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    xyz_l, rgb_l, err_l = [], [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            xyz_l.append([float(p) for p in parts[1:4]])
+            rgb_l.append([int(p) for p in parts[4:7]])
+            err_l.append(float(parts[7]))
+    return (np.array(xyz_l), np.array(rgb_l, dtype=np.uint8), np.array(err_l))
+
+
+def write_cameras_binary(path: str, cams: Dict[int, ColmapCamera]) -> None:
+    """Inverse of read_cameras_binary (used by tests and converters)."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(cams)))
+        for cam in cams.values():
+            mid = _MODEL_NAME_TO_ID[cam.model]
+            f.write(struct.pack("<iiQQ", cam.id, mid, cam.width, cam.height))
+            f.write(struct.pack("<" + "d" * len(cam.params), *cam.params))
+
+
+def write_images_binary(path: str, images: Dict[int, ColmapImage]) -> None:
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(images)))
+        for im in images.values():
+            f.write(struct.pack(
+                "<idddddddi", im.id, *im.qvec, *im.tvec, im.camera_id
+            ))
+            f.write(im.name.encode("utf-8") + b"\x00")
+            f.write(struct.pack("<Q", 0))
+
+
+def write_points3d_binary(path: str, xyz: np.ndarray, rgb: np.ndarray) -> None:
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(xyz)))
+        for i in range(len(xyz)):
+            f.write(struct.pack(
+                "<QdddBBBd", i, *xyz[i], *rgb[i].astype(np.uint8), 0.0
+            ))
+            f.write(struct.pack("<Q", 0))

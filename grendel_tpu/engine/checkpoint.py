@@ -1,0 +1,146 @@
+"""Training checkpoints (params + Adam state + iteration), elastic across
+world sizes.
+
+Parity target: the reference's per-rank torch checkpoints with
+merge/split-on-load (/root/reference/utils/general_utils.py:516-709 and
+train_internal.py:287-313): rank r of world size w writes
+``chkpnt_ws={w}_rk={r}``; loading with the same world size restores Adam
+state; loading with a different world size re-shards the packed Gaussians
+by contiguous chunks and DROPS the Adam state (the reference does the same
+— opt_dict=None on merge/split, general_utils.py:546,589).
+
+Storage is a plain ``.npz`` of packed (alive-only) arrays — world-size
+elastic by construction since capacity padding is stripped on save and
+re-applied on load.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..models.gaussian_model import GaussianParams, round_capacity
+from ..models.optimizer import AdamState, adam_init
+from ..models.densify import densify_stats_init
+from .train import TrainState
+
+_PARAM_FIELDS = list(GaussianParams._fields)
+
+
+def checkpoint_name(ws: int, rank: int) -> str:
+    return f"chkpnt_ws={ws}_rk={rank}.npz"
+
+
+def save_checkpoint(
+    directory: str,
+    state: TrainState,
+    rank: int = 0,
+    world_size: int = 1,
+) -> str:
+    """Write this shard's checkpoint; returns the file path."""
+    os.makedirs(directory, exist_ok=True)
+    alive = np.asarray(state.alive)
+    idx = np.nonzero(alive)[0]
+    payload = {"iteration": np.asarray(state.iteration),
+               "adam_count": np.asarray(state.adam.count)}
+    for f in _PARAM_FIELDS:
+        payload[f"param_{f}"] = np.asarray(getattr(state.params, f))[idx]
+        payload[f"mu_{f}"] = np.asarray(getattr(state.adam.mu, f))[idx]
+        payload[f"nu_{f}"] = np.asarray(getattr(state.adam.nu, f))[idx]
+    path = os.path.join(directory, checkpoint_name(world_size, rank))
+    np.savez(path, **payload)
+    return path
+
+
+def _find_shards(directory: str) -> Tuple[int, List[str]]:
+    rx = re.compile(r"chkpnt_ws=(\d+)_rk=(\d+)\.npz$")
+    found = []
+    for fn in os.listdir(directory):
+        m = rx.match(fn)
+        if m:
+            found.append((int(m.group(1)), int(m.group(2)), fn))
+    if not found:
+        raise FileNotFoundError(f"no checkpoints in {directory}")
+    ws = found[0][0]
+    assert all(w == ws for w, _, _ in found), "mixed world sizes in checkpoint dir"
+    assert len(found) == ws, f"expected {ws} shard files, found {len(found)}"
+    found.sort(key=lambda t: t[1])
+    return ws, [os.path.join(directory, fn) for _, _, fn in found]
+
+
+def load_checkpoint(
+    directory: str,
+    rank: int = 0,
+    world_size: int = 1,
+    capacity: Optional[int] = None,
+) -> TrainState:
+    """Load (and possibly re-shard) a checkpoint directory into a TrainState."""
+    import jax.numpy as jnp
+
+    saved_ws, paths = _find_shards(directory)
+    same_ws = saved_ws == world_size
+
+    if same_ws:
+        datas = [np.load(paths[rank])]
+    else:
+        datas = [np.load(p) for p in paths]
+
+    def packed(prefix: str, f: str) -> np.ndarray:
+        return np.concatenate([d[f"{prefix}_{f}"] for d in datas], axis=0)
+
+    total = packed("param", "means3d").shape[0]
+    if same_ws:
+        lo, hi = 0, total
+    else:
+        lo = rank * total // world_size
+        hi = (rank + 1) * total // world_size
+    m = hi - lo
+    cap = capacity if capacity is not None else round_capacity(max(m, 1))
+    if m > cap:
+        raise ValueError(f"shard size {m} exceeds capacity {cap}")
+
+    def pad(x: np.ndarray, fill: float = 0.0):
+        out = np.full((cap,) + x.shape[1:], fill, np.float32)
+        out[:m] = x[lo:hi]
+        return jnp.asarray(out)
+
+    fills = {"scales_raw": -10.0, "opacities_raw": -10.0}
+    params = GaussianParams(**{
+        f: pad(packed("param", f), fills.get(f, 0.0)) for f in _PARAM_FIELDS
+    })
+    params = params._replace(quats=params.quats.at[m:, 0].set(1.0))
+    alive = jnp.asarray(np.arange(cap) < m)
+
+    if same_ws:
+        adam = AdamState(
+            mu=GaussianParams(**{f: pad(packed("mu", f)) for f in _PARAM_FIELDS}),
+            nu=GaussianParams(**{f: pad(packed("nu", f)) for f in _PARAM_FIELDS}),
+            count=jnp.asarray(datas[0]["adam_count"]),
+        )
+    else:
+        # world size changed: drop optimizer moments (ref behavior)
+        adam = adam_init(params)
+
+    iteration = int(datas[0]["iteration"])
+    return TrainState(
+        params=params,
+        alive=alive,
+        adam=adam,
+        stats=densify_stats_init(cap),
+        iteration=jnp.asarray(iteration, jnp.int32),
+    )
+
+
+def find_latest_checkpoint(checkpoints_root: str) -> Optional[str]:
+    """Latest iteration subdirectory under ``<root>/checkpoints`` (ref:
+    --auto_start_checkpoint, arguments/__init__.py:236-272)."""
+    base = os.path.join(checkpoints_root, "checkpoints")
+    if not os.path.isdir(base):
+        return None
+    iters = [d for d in os.listdir(base) if d.isdigit()]
+    if not iters:
+        return None
+    return os.path.join(base, max(iters, key=int))

@@ -1,0 +1,180 @@
+"""Data-layer tests: PLY IO, COLMAP parsers, scene readers, dataset sampler."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from grendel_tpu.utils.ply import read_ply, write_ply
+from grendel_tpu.data import colmap
+from grendel_tpu.data.readers import read_blender_scene, read_colmap_scene, nerfpp_norm
+from grendel_tpu.data.scene import Scene, SceneDataset, decode_image
+
+
+def test_ply_roundtrip(tmp_path):
+    path = str(tmp_path / "t.ply")
+    fields = {
+        "x": np.arange(5, dtype=np.float32),
+        "y": np.arange(5, dtype=np.float32) * 2,
+        "z": np.arange(5, dtype=np.float32) * 3,
+        "red": np.array([0, 64, 128, 192, 255], np.uint8),
+        "green": np.zeros(5, np.uint8),
+        "blue": np.ones(5, np.uint8),
+    }
+    write_ply(path, fields)
+    back = read_ply(path)
+    for k, v in fields.items():
+        np.testing.assert_array_equal(back[k], v)
+
+
+def test_colmap_binary_roundtrip(tmp_path):
+    cams = {
+        1: colmap.ColmapCamera(1, "PINHOLE", 640, 480,
+                               np.array([500.0, 510.0, 320.0, 240.0])),
+    }
+    q = np.array([0.9, 0.1, 0.2, 0.05])
+    q = q / np.linalg.norm(q)
+    imgs = {
+        7: colmap.ColmapImage(7, q, np.array([1.0, 2.0, 3.0]), 1, "img_000.png"),
+    }
+    xyz = np.random.default_rng(0).normal(size=(10, 3))
+    rgb = (np.random.default_rng(1).uniform(size=(10, 3)) * 255).astype(np.uint8)
+
+    colmap.write_cameras_binary(str(tmp_path / "cameras.bin"), cams)
+    colmap.write_images_binary(str(tmp_path / "images.bin"), imgs)
+    colmap.write_points3d_binary(str(tmp_path / "points3D.bin"), xyz, rgb)
+
+    c2 = colmap.read_cameras_binary(str(tmp_path / "cameras.bin"))
+    assert c2[1].model == "PINHOLE" and c2[1].width == 640
+    np.testing.assert_allclose(c2[1].params, cams[1].params)
+    i2 = colmap.read_images_binary(str(tmp_path / "images.bin"))
+    np.testing.assert_allclose(i2[7].qvec, q)
+    assert i2[7].name == "img_000.png"
+    x2, r2, _ = colmap.read_points3d_binary(str(tmp_path / "points3D.bin"))
+    np.testing.assert_allclose(x2, xyz)
+    np.testing.assert_array_equal(r2, rgb)
+
+
+def test_qvec_rotmat_orthonormal():
+    q = np.array([0.7, 0.3, -0.2, 0.6])
+    q = q / np.linalg.norm(q)
+    R = colmap.qvec_to_rotmat(q)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-10)
+
+
+def _write_png(path, h, w, color):
+    from PIL import Image
+
+    arr = np.full((h, w, 3), color, np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+@pytest.fixture
+def colmap_scene_dir(tmp_path):
+    """Build a minimal synthetic COLMAP scene directory."""
+    sparse = tmp_path / "sparse" / "0"
+    sparse.mkdir(parents=True)
+    imgdir = tmp_path / "images"
+    imgdir.mkdir()
+    w, h = 64, 48
+    fx = fy = 60.0
+    cams = {1: colmap.ColmapCamera(1, "PINHOLE", w, h,
+                                   np.array([fx, fy, w / 2, h / 2]))}
+    imgs = {}
+    rng = np.random.default_rng(0)
+    for i in range(10):
+        q = rng.normal(size=4)
+        q = q / np.linalg.norm(q)
+        imgs[i + 1] = colmap.ColmapImage(
+            i + 1, q, rng.normal(size=3) + [0, 0, 4], 1, f"im_{i:03d}.png"
+        )
+        _write_png(str(imgdir / f"im_{i:03d}.png"), h, w, 40 + 20 * (i % 3))
+    xyz = rng.normal(size=(50, 3))
+    rgb = (rng.uniform(size=(50, 3)) * 255).astype(np.uint8)
+    colmap.write_cameras_binary(str(sparse / "cameras.bin"), cams)
+    colmap.write_images_binary(str(sparse / "images.bin"), imgs)
+    colmap.write_points3d_binary(str(sparse / "points3D.bin"), xyz, rgb)
+    return tmp_path
+
+
+def test_read_colmap_scene(colmap_scene_dir):
+    info = read_colmap_scene(str(colmap_scene_dir), eval_split=True, llffhold=8)
+    assert len(info.train_cameras) + len(info.test_cameras) == 10
+    assert len(info.test_cameras) == 2  # indices 0 and 8
+    assert info.point_cloud.points.shape == (50, 3)
+    assert 0 <= info.point_cloud.colors.min() <= info.point_cloud.colors.max() <= 1
+    assert info.nerf_normalization["radius"] > 0
+    # names sorted deterministically
+    names = [c.image_name for c in info.train_cameras]
+    assert names == sorted(names)
+
+
+def test_scene_and_dataset(colmap_scene_dir):
+    scene = Scene(str(colmap_scene_dir), eval_split=True, llffhold=8, seed=3)
+    assert len(scene.train_cameras) == 8
+    assert scene.cameras_extent > 0
+    cam = scene.train_cameras[0]
+    assert cam.gt_image_u8.shape == (3, 48, 64)
+    # full projection finite
+    assert np.all(np.isfinite(cam.full_proj))
+
+    ds = SceneDataset(scene.train_cameras, seed=0)
+    seen = []
+    for _ in range(4):
+        batch = ds.next_batch(3)
+        assert len(batch) == 3
+        seen += [c.uid for c in batch]
+    assert ds.epoch == 2  # 12 draws over 8 cameras
+    # first epoch visits each camera exactly once
+    assert sorted(seen[:8]) == list(range(8))
+
+
+@pytest.fixture
+def blender_scene_dir(tmp_path):
+    from PIL import Image
+
+    frames = []
+    rng = np.random.default_rng(2)
+    (tmp_path / "train").mkdir()
+    for i in range(4):
+        c2w = np.eye(4)
+        c2w[:3, 3] = rng.normal(size=3) + [0, 0, 3]
+        frames.append({
+            "file_path": f"train/r_{i}",
+            "transform_matrix": c2w.tolist(),
+        })
+        arr = np.zeros((32, 40, 4), np.uint8)
+        arr[..., 0] = 200
+        arr[..., 3] = 128  # half-transparent
+        Image.fromarray(arr).save(tmp_path / "train" / f"r_{i}.png")
+    with open(tmp_path / "transforms_train.json", "w") as f:
+        json.dump({"camera_angle_x": 0.8, "frames": frames}, f)
+    return tmp_path
+
+
+def test_read_blender_scene_white_bg(blender_scene_dir):
+    info = read_blender_scene(str(blender_scene_dir), white_background=True,
+                              eval_split=False)
+    assert len(info.train_cameras) == 4
+    img = decode_image(info.train_cameras[0])
+    assert img.shape == (3, 32, 40)
+    # alpha=0.5 composite over white: red = 0.5*200 + 0.5*255 ~ 227
+    assert abs(int(img[0, 0, 0]) - 227) <= 1
+    assert abs(int(img[1, 0, 0]) - 127) <= 1  # green 0 over white
+
+
+def test_nerfpp_norm_radius():
+    from grendel_tpu.data.readers import CameraInfo
+
+    infos = []
+    for pos in ([1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0]):
+        # camera at `pos` looking with identity rotation: T = -R^T @ pos = -pos
+        infos.append(CameraInfo(
+            uid=0, R=np.eye(3), T=-np.array(pos, np.float64),
+            fovx=1.0, fovy=1.0, image_path="", image_name="", width=8, height=8,
+        ))
+    norm = nerfpp_norm(infos)
+    np.testing.assert_allclose(norm["radius"], 1.1, rtol=1e-6)
+    np.testing.assert_allclose(norm["translate"], 0.0, atol=1e-12)
