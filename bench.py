@@ -1,0 +1,103 @@
+"""Benchmark: steady-state training throughput on the real chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: full single-chip training steps (render + loss + backward + Adam)
+on a synthetic scene shaped like Mip360 garden at images_4 resolution
+(1297x840, ~200k live Gaussians). Baseline: the reference trains garden
+30k iters in 30.15 min on one A100 (BASELINE.md) = 16.58 it/s; vs_baseline
+is our it/s over that. A synthetic scene keeps the benchmark hermetic
+(no dataset download) while matching the real per-iteration tensor shapes.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from grendel_tpu.cameras import batch_camera_arrays
+    from grendel_tpu.engine.render import RenderConfig
+    from grendel_tpu.engine.train import (
+        XyzLrSchedule, train_state_init, train_step,
+    )
+    from grendel_tpu.models import scaled_lrs
+    from grendel_tpu.models.gaussian_model import GaussianParams
+    from grendel_tpu.testing import make_test_camera, random_gaussians
+    from grendel_tpu.utils.math3d import inverse_sigmoid
+
+    h, w = 840, 1296          # garden images_4 scale (tile-aligned width)
+    n_live = 200_000
+    capacity = 262_144
+    sh_degree = 3
+    bsz = 1
+    steps_measured = 30
+
+    key = jax.random.key(0)
+    means, scales, quats, opac, sh = random_gaussians(
+        key, n_live, extent=3.0, sh_degree=sh_degree,
+        scale_range=(-5.5, -3.5),
+    )
+    pad = capacity - n_live
+
+    def padn(x, fill=0.0):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                       constant_values=fill)
+
+    params = GaussianParams(
+        means3d=padn(means),
+        sh_dc=padn(sh[:, :1, :]),
+        sh_rest=padn(sh[:, 1:, :]),
+        scales_raw=padn(jnp.log(scales), fill=-10.0),
+        quats=padn(quats).at[n_live:, 0].set(1.0),
+        opacities_raw=padn(
+            inverse_sigmoid(jnp.clip(opac, 1e-4, 1 - 1e-4)), fill=-10.0),
+    )
+    alive = jnp.arange(capacity) < n_live
+
+    cfg = RenderConfig(img_h=h, img_w=w, isect_capacity=1 << 21,
+                       max_per_tile=1024, chunk=64)
+    cams_host = [make_test_camera(w, h, dist=5.0, angle=0.1 * i)
+                 for i in range(bsz)]
+    cams = batch_camera_arrays(cams_host)
+    rng = np.random.default_rng(0)
+    gt_u8 = jnp.asarray(
+        rng.integers(0, 255, (bsz, 3, h, w), dtype=np.uint8))
+    bg = jnp.zeros(3)
+
+    lrs, s = scaled_lrs(0.0025, 0.05, 0.005, 0.001, bsz=bsz)
+    sched = XyzLrSchedule(1.6e-4 * s, 1.6e-6 * s, 0.01, 30000)
+    state = train_state_init(params, alive)
+
+    def one(state):
+        return train_step(state, cams, gt_u8, bg, cfg, sh_degree, bsz,
+                          lambda_dssim=0.2, lrs=lrs, xyz_sched=sched)
+
+    # warmup / compile
+    state, m = one(state)
+    jax.block_until_ready(m["loss"])
+    state, m = one(state)
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps_measured):
+        state, m = one(state)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    it_per_s = steps_measured / dt
+    baseline_it_per_s = 30000 / (30.15 * 60)   # garden, 1xA100 (BASELINE.md)
+    print(json.dumps({
+        "metric": "train_step_throughput_garden4_200k",
+        "value": round(it_per_s, 3),
+        "unit": "iter/s",
+        "vs_baseline": round(it_per_s / baseline_it_per_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,377 @@
+"""Training driver: the host loop around the jitted distributed step.
+
+Parity target: /root/reference/train_internal.py:32-352 (`training`) plus
+densification.py's schedule. Orchestrates, per iteration block of ``bsz``:
+
+  batch sampling -> workload division (load balancer) -> GT row packing ->
+  jitted sharded step -> heuristic update -> densify / opacity reset /
+  redistribution on schedule -> eval + save + checkpoint at their iters.
+
+Host-side responsibilities unique to the TPU design:
+  * capacity management — grows the padded Gaussian capacity (x2) when any
+    shard passes the occupancy trigger or densification reports dropped
+    Gaussians; a growth is a controlled recompile.
+  * trainer cache — the jitted step is static in (sh_degree, shard size);
+    the SH-degree ramp (+1 every 1000 iters, ref train_internal.py:109-110)
+    and capacity growth each fetch a new compiled step from the cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..cameras import Camera, batch_camera_arrays
+from ..config import TrainConfig, check_update_at_this_iter
+from ..data.scene import Scene, SceneDataset
+from ..models import init_from_pcd, scaled_lrs
+from ..models.gaussian_model import GaussianParams, round_capacity
+from ..models.optimizer import adam_init
+from ..models.densify import densify_stats_init
+from ..ops.ssim import psnr as psnr_fn
+from ..parallel import (
+    DivisionHistory, ParallelConfig, ShardedTrainer, divide_rows, pack_gt_rows,
+)
+from ..parallel.redistribute import build_redistribute
+from ..parallel.sharded import _state_specs
+from .train import TrainState, XyzLrSchedule
+from .checkpoint import save_checkpoint, load_checkpoint
+from .gaussian_io import save_ply
+
+
+class Trainer:
+    """End-to-end training of one scene on the available device mesh."""
+
+    def __init__(self, cfg: TrainConfig, scene: Scene,
+                 devices: Optional[list] = None, log_file=None):
+        self.cfg = cfg
+        self.scene = scene
+        self.devices = devices if devices is not None else jax.devices()
+        self.n_devices = len(self.devices)
+        self.mesh = Mesh(np.array(self.devices), ("d",))
+        self.log = log_file
+        self.history = DivisionHistory(
+            tiles_y=self._tiles_y(), decay=cfg.dist.heuristic_decay)
+        self.densify_count = 0
+        self._trainer_cache = {}
+        self._redist_cache = {}
+
+        h, w = scene.train_cameras[0].height, scene.train_cameras[0].width
+        self.img_h, self.img_w = h, w
+        self.spatial_lr_scale = scene.cameras_extent
+
+        # LR config (bsz-scaled)
+        o = cfg.opt
+        self.lrs, self.lr_scale = scaled_lrs(
+            o.feature_lr, o.opacity_lr, o.scaling_lr, o.rotation_lr,
+            bsz=cfg.dist.bsz, lr_scale_mode=o.lr_scale_mode,
+            betas=o.adam_betas, eps=o.adam_eps,
+            lr_scale_pos_and_scale=o.lr_scale_pos_and_scale,
+        )
+        self.xyz_sched = XyzLrSchedule(
+            lr_init=o.position_lr_init * self.spatial_lr_scale
+            * self.lr_scale * o.lr_scale_pos_and_scale,
+            lr_final=o.position_lr_final * self.spatial_lr_scale
+            * self.lr_scale * o.lr_scale_pos_and_scale,
+            lr_delay_mult=o.position_lr_delay_mult,
+            max_steps=o.position_lr_max_steps,
+        )
+
+        self.bg = jnp.asarray(
+            [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0])
+
+        # model init
+        if cfg.start_checkpoint:
+            self.state = load_checkpoint(cfg.start_checkpoint)
+            n0 = int(jnp.sum(self.state.alive))
+            self.n_local = self.state.alive.shape[0] // self.n_devices
+        else:
+            pcd = scene.point_cloud
+            n0 = pcd.points.shape[0]
+            self.n_local = round_capacity(
+                max(int(n0 / self.n_devices * 1.5), 512))
+            params, alive = init_from_pcd(
+                pcd.points, pcd.colors, self.n_local * self.n_devices,
+                cfg.model.sh_degree)
+            self.state = TrainState(
+                params=params, alive=alive, adam=adam_init(params),
+                stats=densify_stats_init(alive.shape[0]),
+                iteration=jnp.asarray(0, jnp.int32),
+            )
+        self.state = self._shard(self.state)
+        self._log(f"init: {n0} gaussians, capacity "
+                  f"{self.n_local}x{self.n_devices}, image {w}x{h}, "
+                  f"extent {self.spatial_lr_scale:.3f}")
+
+        self.dataset = SceneDataset(scene.train_cameras, seed=cfg.seed)
+        warm = cfg.dist.adjust_strategy_warmp_iterations
+        self.warmup_iters = (
+            len(scene.train_cameras) if warm < 0 else warm)
+
+    # ------------------------------------------------------------------
+
+    def _tiles_y(self) -> int:
+        h = self.scene.train_cameras[0].height
+        return -(-h // 16)
+
+    def _log(self, msg: str):
+        line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+        print(line, flush=True)
+        if self.log is not None:
+            self.log.write(line + "\n")
+            self.log.flush()
+
+    def _shard(self, state: TrainState) -> TrainState:
+        specs = _state_specs()
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+            state, specs)
+
+    def _parallel_cfg(self, bsz: int) -> ParallelConfig:
+        p = self.cfg.pipeline
+        n_loc = self.n_local
+        # per-device entry-list budget: ~isect_capacity_factor entries per
+        # local-shard slot; overflow shows up in the num_isects metric.
+        isect_cap = 1 << max(
+            14, int(np.ceil(np.log2(p.isect_capacity_factor * n_loc))))
+        return ParallelConfig(
+            n_devices=self.n_devices, bsz=bsz,
+            img_h=self.img_h, img_w=self.img_w,
+            tile_w=p.tile_w, tile_h=p.tile_h,
+            isect_capacity=isect_cap,
+            max_per_tile=p.max_per_tile, chunk=p.chunk,
+        ).resolved(n_loc)
+
+    def _trainer(self, sh_degree: int) -> ShardedTrainer:
+        key = (sh_degree, self.n_local)
+        if key not in self._trainer_cache:
+            self._trainer_cache[key] = ShardedTrainer(
+                self.mesh, self._parallel_cfg(self.cfg.dist.bsz),
+                sh_degree=sh_degree, lambda_dssim=self.cfg.opt.lambda_dssim,
+                lrs=self.lrs, xyz_sched=self.xyz_sched,
+                lr_scale_mode=self.cfg.opt.lr_scale_mode,
+            )
+        return self._trainer_cache[key]
+
+    def _gather_state(self) -> TrainState:
+        return jax.tree.map(lambda x: jax.device_get(x), self.state)
+
+    # ------------------------------------------------------------------
+
+    def _grow_capacity(self):
+        """Double per-shard capacity (host-side, preserves shard locality)."""
+        old_local = self.n_local
+        new_local = old_local * 2
+        host = self._gather_state()
+        d = self.n_devices
+
+        def grow(x, fill=0.0):
+            x = np.asarray(x)
+            if x.ndim == 0 or x.shape[0] != old_local * d:
+                return x
+            shaped = x.reshape((d, old_local) + x.shape[1:])
+            pad_block = np.full((d, old_local) + x.shape[1:], fill, x.dtype)
+            return np.concatenate([shaped, pad_block], axis=1).reshape(
+                (d * new_local,) + x.shape[1:])
+
+        alive_new = grow(host.alive, False)
+        quats = grow(host.params.quats)
+        quats[~alive_new, 0] = 1.0   # identity rotation for padded slots
+        params = GaussianParams(
+            means3d=grow(host.params.means3d),
+            sh_dc=grow(host.params.sh_dc),
+            sh_rest=grow(host.params.sh_rest),
+            scales_raw=grow(host.params.scales_raw, -10.0),
+            quats=quats,
+            opacities_raw=grow(host.params.opacities_raw, -10.0),
+        )
+        adam = self.state.adam.__class__(
+            mu=GaussianParams(*(jnp.asarray(grow(l)) for l in host.adam.mu)),
+            nu=GaussianParams(*(jnp.asarray(grow(l)) for l in host.adam.nu)),
+            count=jnp.asarray(host.adam.count),
+        )
+        new_state = TrainState(
+            params=jax.tree.map(jnp.asarray, params),
+            alive=jnp.asarray(alive_new),
+            adam=adam,
+            stats=densify_stats_init(new_local * d),
+            iteration=jnp.asarray(host.iteration),
+        )
+        self.n_local = new_local
+        self.state = self._shard(new_state)
+        self._log(f"capacity grown: {old_local} -> {new_local} per shard")
+
+    # ------------------------------------------------------------------
+
+    def eval_psnr(self, cameras: List[Camera], sh_degree: int,
+                  max_cams: Optional[int] = None) -> dict:
+        """Render cameras with the distributed pipeline; mean L1/PSNR
+        (ref training_report, train_internal.py:355-493)."""
+        bsz = self.cfg.dist.bsz
+        trainer = self._trainer(sh_degree)
+        cfg = trainer.cfg
+        cams = cameras[: max_cams] if max_cams else cameras
+        n_use = (len(cams) // bsz) * bsz
+        if n_use == 0:
+            n_use = min(len(cams), bsz)
+            cams = (cams * bsz)[:bsz]
+        psnrs, l1s = [], []
+        pos_np = divide_rows(
+            np.ones(cfg.total_rows), self.n_devices, cfg.n_row_slots)
+        pos = jnp.asarray(pos_np)
+        for i in range(0, n_use, bsz):
+            batch = cams[i:i + bsz]
+            if len(batch) < bsz:
+                break
+            imgs = trainer.render(
+                self.state.params, self.state.alive,
+                batch_camera_arrays(batch), pos, self.bg)
+            imgs = jnp.clip(imgs, 0.0, 1.0)
+            for b, cam in enumerate(batch):
+                gt = jnp.asarray(cam.gt_image_u8).astype(jnp.float32) / 255.0
+                psnrs.append(float(psnr_fn(imgs[b], gt)))
+                l1s.append(float(jnp.mean(jnp.abs(imgs[b] - gt))))
+        return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s)),
+                "n": len(psnrs)}
+
+    # ------------------------------------------------------------------
+
+    def train(self, iterations: Optional[int] = None) -> TrainState:
+        cfg = self.cfg
+        bsz = cfg.dist.bsz
+        o = cfg.opt
+        end = iterations if iterations is not None else o.iterations
+        t_start = time.time()
+
+        it = int(jax.device_get(self.state.iteration))
+        while it < end:
+            sh_degree = min(it // 1000, cfg.model.sh_degree)
+            trainer = self._trainer(sh_degree)
+            pcfg = trainer.cfg
+
+            batch = self.dataset.next_batch(bsz)
+            heur = self.history.heuristic_for(batch)
+            pos_np = divide_rows(heur, self.n_devices, pcfg.n_row_slots)
+            gt_rows = jax.device_put(
+                pack_gt_rows(batch, pos_np, self.n_devices, pcfg.n_row_slots,
+                             pcfg.tile_h, self.img_h, self.img_w),
+                trainer.sharding_for(P("d")))
+
+            self.state, metrics = trainer.step(
+                self.state, batch_camera_arrays(batch), gt_rows,
+                jnp.asarray(pos_np), self.bg)
+
+            # fold measured per-row costs into the balancer (after warmup)
+            if (not cfg.dist.no_heuristics_update
+                    and self.n_devices > 1 and it >= self.warmup_iters):
+                self.history.update(
+                    batch, pos_np, np.asarray(metrics["per_row_entries"]))
+
+            it = int(jax.device_get(self.state.iteration))
+
+            if it % cfg.log_interval < bsz:
+                loss = float(jax.device_get(metrics["loss"]))
+                n_alive = int(jax.device_get(jnp.sum(self.state.alive)))
+                ips = it / max(time.time() - t_start, 1e-9)
+                self._log(
+                    f"iter {it}: loss={loss:.5f} n3dgs={n_alive} "
+                    f"xyz_lr={float(metrics['xyz_lr']):.2e} it/s={ips:.2f}")
+
+            # ---- densification schedule (ref densification.py:5-85) ----
+            if (not o.disable_auto_densification and it <= o.densify_until_iter
+                    and it > o.densify_from_iter
+                    and check_update_at_this_iter(
+                        it, bsz, o.densification_interval, 0)):
+                use_size_prune = it > o.opacity_reset_interval
+                self.state, info = trainer.densify(
+                    self.state, jax.random.key(cfg.seed * 1000003 + it),
+                    o.densify_grad_threshold, o.min_opacity,
+                    self.spatial_lr_scale, o.percent_dense, use_size_prune)
+                self.densify_count += 1
+                dropped = int(info[:, 3].sum())
+                occ = info[:, 4].max() / self.n_local
+                self._log(
+                    f"iter {it}: densify #{self.densify_count} "
+                    f"clone={info[:, 0].sum()} split={info[:, 1].sum()} "
+                    f"prune={info[:, 2].sum()} alive={info[:, 4].sum()} "
+                    f"dropped={dropped} max_occ={occ:.2f}")
+                if dropped > 0 or occ > o.capacity_growth_trigger:
+                    self._grow_capacity()
+                    trainer = self._trainer(sh_degree)
+
+                # redistribution (ref densification.py:46-60)
+                if (self.n_devices > 1
+                        and cfg.dist.gaussians_distribution
+                        and cfg.dist.redistribute_gaussians_mode
+                        == "random_redistribute"
+                        and self.densify_count
+                        % cfg.dist.redistribute_gaussians_frequency == 0):
+                    self._redistribute(it)
+
+            # ---- opacity reset ----
+            if (check_update_at_this_iter(it, bsz, o.opacity_reset_interval, 0)
+                    and it + bsz <= o.opacity_reset_until_iter):
+                self.state = trainer.reset_opacity(self.state)
+                self._log(f"iter {it}: opacity reset")
+
+            # ---- eval / save / checkpoint ----
+            if any(it - bsz < t <= it for t in cfg.test_iterations):
+                self._run_eval(it, sh_degree)
+            if any(it - bsz < t <= it for t in cfg.save_iterations):
+                self.save_model(it)
+            if any(it - bsz < t <= it for t in cfg.checkpoint_iterations):
+                self.save_checkpoint(it)
+
+        secs = time.time() - t_start
+        self._log(f"training done: {it} iters in {secs / 60:.2f} min "
+                  f"({it / max(secs, 1e-9):.2f} it/s)")
+        return self.state
+
+    def _redistribute(self, it: int):
+        key = (self.n_local,)
+        if key not in self._redist_cache:
+            self._redist_cache[key] = build_redistribute(
+                self.mesh, self.n_devices,
+                send_cap=max(256, 2 * self.n_local // self.n_devices))
+        fn = self._redist_cache[key]
+        p, a, adam, info = fn(self.state.params, self.state.alive,
+                              self.state.adam, jax.random.key(it))
+        info = np.asarray(info)
+        if info[:, 2].sum() > 0:
+            self._log(f"iter {it}: redistribution dropped "
+                      f"{info[:, 2].sum()} — growing capacity and skipping")
+            self._grow_capacity()
+            return
+        self.state = self.state._replace(params=p, alive=a, adam=adam)
+        self._log(f"iter {it}: redistributed {info[:, 0].sum()} gaussians")
+
+    def _run_eval(self, it: int, sh_degree: int):
+        for name, cams in (("test", self.scene.test_cameras),
+                           ("train", self.scene.train_cameras[:8])):
+            if not cams:
+                continue
+            r = self.eval_psnr(cams, sh_degree)
+            self._log(f"iter {it}: eval {name}: L1={r['l1']:.5f} "
+                      f"PSNR={r['psnr']:.3f} ({r['n']} cams)")
+
+    def save_model(self, it: int):
+        out = os.path.join(self.cfg.model.model_path, "point_cloud",
+                           f"iteration_{it}")
+        os.makedirs(out, exist_ok=True)
+        host = self._gather_state()
+        save_ply(os.path.join(out, "point_cloud.ply"),
+                 host.params, np.asarray(host.alive))
+        self._log(f"iter {it}: saved PLY to {out}")
+
+    def save_checkpoint(self, it: int):
+        out = os.path.join(self.cfg.model.model_path, "checkpoints", str(it))
+        host = self._gather_state()
+        save_checkpoint(out, host, rank=0, world_size=1)
+        self._log(f"iter {it}: saved checkpoint to {out}")

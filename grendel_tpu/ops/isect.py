@@ -51,6 +51,76 @@ def gaussian_tile_rect(means2d: Array, radii: Array, tile_w: int, tile_h: int,
     return x0, y0, spanx, spany
 
 
+def isect_tile_rows(
+    means2d: Array,      # (M,2) received entries (possibly multiple cameras)
+    radii: Array,        # (M,) int32, 0 = culled/invalid
+    depths: Array,       # (M,) view z (+inf for culled)
+    cam_ids: Array,      # (M,) int32 camera index of each entry
+    row_lo: Array,       # () int32 first owned global tile row
+    row_hi: Array,       # () int32 one past last owned global tile row
+    tile_w: int,
+    tile_h: int,
+    tiles_x: int,
+    tiles_y: int,        # tile rows per image (TILE_Y)
+    n_row_slots: int,    # static row-slot buffer size (>= row_hi - row_lo)
+    capacity: int,
+) -> TileIntersections:
+    """Per-tile entry lists restricted to an owned global tile-row span.
+
+    The distributed pixel-parallel path's intersection stage: global row
+    space flattens (camera, image tile row) as ``cam * tiles_y + ty``
+    (SURVEY.md §2.2 — the reference's DivisionStrategyFinal partitions this
+    axis, workload_division.py:852-941); a device owns the contiguous span
+    [row_lo, row_hi) and builds entry lists for local tile slots
+    ``(global_row - row_lo) * tiles_x + tx``. Same static-capacity
+    expand-and-sort machinery as :func:`isect_tiles`.
+    """
+    num_slots = n_row_slots * tiles_x
+
+    order = jnp.argsort(depths)
+    m2d = means2d[order]
+    rad = radii[order]
+    cam = cam_ids[order]
+
+    x0, y0, spanx, spany = gaussian_tile_rect(m2d, rad, tile_w, tile_h,
+                                              tiles_x, tiles_y)
+    # clip the tile-row span to the owned window of this entry's camera
+    ty_lo = jnp.maximum(y0, row_lo - cam * tiles_y)
+    ty_hi = jnp.minimum(y0 + spany, row_hi - cam * tiles_y)
+    # also clip to the static row-slot buffer
+    ty_hi = jnp.minimum(ty_hi, row_lo - cam * tiles_y + n_row_slots)
+    spany_own = jnp.maximum(ty_hi - ty_lo, 0)
+    counts = spanx * spany_own
+    cum = jnp.cumsum(counts)
+    total = cum[-1]
+
+    e = jnp.arange(capacity, dtype=jnp.int32)
+    g = jnp.searchsorted(cum, e, side="right").astype(jnp.int32)
+    g = jnp.clip(g, 0, m2d.shape[0] - 1)
+    start = cum[g] - counts[g]
+    within = e - start
+    sx = jnp.maximum(spanx[g], 1)
+    dy = within // sx
+    dx = within - dy * sx
+    ty = ty_lo[g] + dy
+    tx = x0[g] + dx
+    slot = (cam[g] * tiles_y + ty - row_lo) * tiles_x + tx
+    valid = (e < total) & (slot >= 0) & (slot < num_slots)
+    slot = jnp.where(valid, slot, num_slots).astype(jnp.int32)
+
+    gid = order[g].astype(jnp.int32)
+    slot_sorted, gid_sorted = jax.lax.sort_key_val(slot, gid, is_stable=True)
+    tile_offsets = jnp.searchsorted(
+        slot_sorted, jnp.arange(num_slots + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+
+    return TileIntersections(
+        gauss_ids=gid_sorted,
+        tile_offsets=tile_offsets,
+        num_isects=total.astype(jnp.int32),
+    )
+
+
 def isect_tiles(
     means2d: Array,      # (N,2)
     radii: Array,        # (N,) int32, 0 = culled

@@ -6,6 +6,15 @@ entry list in fixed-size chunks, blending front-to-back with the shared
 ``blend`` math. Differentiable end-to-end via autodiff; the per-chunk body
 is rematerialized (jax.checkpoint) so backward memory stays O(tiles * P).
 
+Two layers:
+  * ``rasterize_slots`` — the core: blends an arbitrary set of "tile slots"
+    given per-slot pixel origins and a per-slot entry list. Camera-agnostic;
+    this is what the distributed pixel-parallel path calls with its owned
+    tile-row slots spanning multiple cameras (SURVEY.md §2.2: the reference
+    partitions batched images by tile rows).
+  * ``rasterize_tiles`` — the single-image wrapper: full tile grid of one
+    camera, reassembles (3, H, W).
+
 The Pallas backend (rasterize_pallas.py) implements the same contract with
 hand-written kernels; this module is the fallback path and the reference
 the Pallas kernels are tested against.
@@ -18,7 +27,7 @@ that zeroes non-owned tiles.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +43,65 @@ class RenderAux(NamedTuple):
     final_t: Array      # (H, W) remaining transmittance
     n_entries: Array    # (num_tiles,) entries per tile (pre-truncation)
     num_isects: Array   # () total intersections produced by isect
+
+
+def rasterize_slots(
+    means2d: Array,       # (M, 2) screen positions (per received entry set)
+    conics: Array,        # (M, 3)
+    colors: Array,        # (M, 3)
+    opacities: Array,     # (M,)
+    gauss_ids: Array,     # (capacity,) entry -> index into the M arrays
+    tile_offsets: Array,  # (T + 1,) entry span per tile slot
+    slot_px0: Array,      # (T,) pixel-x origin of each slot
+    slot_py0: Array,      # (T,) pixel-y origin of each slot
+    tile_w: int,
+    tile_h: int,
+    max_per_tile: int,
+    chunk: int,
+) -> Tuple[Array, Array]:
+    """Blend every tile slot. Returns (colors (T, P, 3), final_t (T, P))
+    with P = tile_h * tile_w, pixels in row-major order within the slot."""
+    t_slots = slot_px0.shape[0]
+    p = tile_h * tile_w
+    capacity = gauss_ids.shape[0]
+    n_chunks = -(-max_per_tile // chunk)
+
+    starts = tile_offsets[:-1]
+    ends = tile_offsets[1:]
+
+    lx = jnp.arange(tile_w, dtype=jnp.float32)
+    ly = jnp.arange(tile_h, dtype=jnp.float32)
+    # (T, P) pixel coordinates
+    px = (slot_px0[:, None].astype(jnp.float32) + lx[None, :])
+    px = px[:, None, :].repeat(tile_h, 1).reshape(t_slots, p)
+    py = (slot_py0[:, None].astype(jnp.float32) + ly[None, :])
+    py = py[:, :, None].repeat(tile_w, 2).reshape(t_slots, p)
+
+    def chunk_body(carry, c, start, end, pxt, pyt):
+        t_in, color = carry
+        k = start + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        valid = k < end
+        ids = gauss_ids[jnp.clip(k, 0, capacity - 1)]
+        xy = means2d[ids]                      # (chunk, 2)
+        cn = conics[ids]
+        cl = colors[ids]
+        o = jnp.where(valid, opacities[ids], 0.0)
+        dx = pxt[None, :] - xy[:, 0:1]
+        dy = pyt[None, :] - xy[:, 1:2]
+        a = splat_alpha(dx, dy, cn, o)
+        w, t_out = blend_weights(a, t_in)
+        color = color + w.T @ cl               # (P, 3)
+        return (t_out, color), None
+
+    def tile_fn(start, end, pxt, pyt):
+        body = jax.checkpoint(
+            lambda carry, c: chunk_body(carry, c, start, end, pxt, pyt)
+        )
+        init = (jnp.ones(p, dtype=jnp.float32), jnp.zeros((p, 3), dtype=jnp.float32))
+        (t_out, color), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+        return color, t_out
+
+    return jax.vmap(tile_fn)(starts, ends, px, py)   # (T,P,3), (T,P)
 
 
 def rasterize_tiles(
@@ -60,52 +128,16 @@ def rasterize_tiles(
     tiles_y = -(-img_h // tile_h)
     num_tiles = tiles_x * tiles_y
     p = tile_h * tile_w
-    capacity = isect.gauss_ids.shape[0]
-    n_chunks = -(-max_per_tile // chunk)
 
-    m2d = splats.means2d
-    con = splats.conics
-    rgb = splats.colors
-    op = splats.opacities
-
-    starts = isect.tile_offsets[:-1]
-    ends = isect.tile_offsets[1:]
-
-    # per-tile pixel coordinates
     t_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tx = t_ids % tiles_x
-    ty = t_ids // tiles_x
-    lx = jnp.arange(tile_w, dtype=jnp.float32)
-    ly = jnp.arange(tile_h, dtype=jnp.float32)
-    # (num_tiles, P)
-    px = (tx[:, None] * tile_w + lx[None, :])[:, None, :].repeat(tile_h, 1).reshape(num_tiles, p)
-    py = (ty[:, None] * tile_h + ly[None, :])[:, :, None].repeat(tile_w, 2).reshape(num_tiles, p)
+    slot_px0 = (t_ids % tiles_x) * tile_w
+    slot_py0 = (t_ids // tiles_x) * tile_h
 
-    def chunk_body(carry, c, start, end, pxt, pyt):
-        t_in, color = carry
-        k = start + c * chunk + jnp.arange(chunk, dtype=jnp.int32)
-        valid = k < end
-        ids = isect.gauss_ids[jnp.clip(k, 0, capacity - 1)]
-        xy = m2d[ids]                          # (chunk, 2)
-        cn = con[ids]
-        cl = rgb[ids]
-        o = jnp.where(valid, op[ids], 0.0)
-        dx = pxt[None, :] - xy[:, 0:1]
-        dy = pyt[None, :] - xy[:, 1:2]
-        a = splat_alpha(dx, dy, cn, o)
-        w, t_out = blend_weights(a, t_in)
-        color = color + w.T @ cl               # (P, 3)
-        return (t_out, color), None
-
-    def tile_fn(start, end, pxt, pyt):
-        body = jax.checkpoint(
-            lambda carry, c: chunk_body(carry, c, start, end, pxt, pyt)
-        )
-        init = (jnp.ones(p, dtype=jnp.float32), jnp.zeros((p, 3), dtype=jnp.float32))
-        (t_out, color), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
-        return color, t_out
-
-    colors, t_final = jax.vmap(tile_fn)(starts, ends, px, py)   # (T,P,3), (T,P)
+    colors, t_final = rasterize_slots(
+        splats.means2d, splats.conics, splats.colors, splats.opacities,
+        isect.gauss_ids, isect.tile_offsets, slot_px0, slot_py0,
+        tile_w, tile_h, max_per_tile, chunk,
+    )
 
     if tile_mask is not None:
         colors = colors * tile_mask[:, None, None]
@@ -127,7 +159,7 @@ def rasterize_tiles(
 
     aux = RenderAux(
         final_t=tmap,
-        n_entries=ends - starts,
+        n_entries=isect.tile_offsets[1:] - isect.tile_offsets[:-1],
         num_isects=isect.num_isects,
     )
     return img, aux

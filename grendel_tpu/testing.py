@@ -53,3 +53,63 @@ def project_test_scene(key, n: int, cam: Camera, sh_degree: int = 3, **kw):
         cam.height, cam.width, sh_degree,
     )
     return (means, scales, quats, opac, sh), splats
+
+
+class SyntheticScene:
+    """Duck-typed stand-in for data.Scene: a random Gaussian scene rendered
+    to GT images. Used by --synthetic smoke training and benchmarks."""
+
+    def __init__(self, n_cams: int = 12, n_test: int = 2, width: int = 160,
+                 height: int = 120, n_gaussians: int = 400,
+                 n_init_points: int = 300, sh_degree: int = 1, seed: int = 0):
+        from .engine.render import RenderConfig, render_image
+        from .models.gaussian_model import GaussianParams, round_capacity
+        from .utils.math3d import inverse_sigmoid
+        from .data.readers import PointCloud
+
+        key = jax.random.PRNGKey(seed)
+        means, scales, quats, opac, sh = random_gaussians(
+            key, n_gaussians, sh_degree=sh_degree)
+        cap = round_capacity(n_gaussians, 256)
+        pad = cap - n_gaussians
+
+        def padn(x, fill=0.0):
+            return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                           constant_values=fill)
+
+        params = GaussianParams(
+            means3d=padn(means),
+            sh_dc=padn(sh[:, :1, :]),
+            sh_rest=padn(sh[:, 1:, :]),
+            scales_raw=padn(jnp.log(scales), fill=-10.0),
+            quats=padn(quats).at[n_gaussians:, 0].set(1.0),
+            opacities_raw=padn(
+                inverse_sigmoid(jnp.clip(opac, 1e-4, 1 - 1e-4)), fill=-10.0),
+        )
+        alive = jnp.arange(cap) < n_gaussians
+
+        cfg = RenderConfig(img_h=height, img_w=width,
+                           isect_capacity=1 << 15, max_per_tile=512, chunk=64)
+        cams = []
+        total = n_cams + n_test
+        for i in range(total):
+            cam = make_test_camera(width, height,
+                                   angle=2 * np.pi * i / total)
+            cam.uid = i
+            img, _ = render_image(params, alive, camera_arrays(cam),
+                                  sh_degree, cfg, bg=jnp.zeros(3))
+            cam.gt_image_u8 = np.asarray(
+                (jnp.clip(img, 0, 1) * 255).astype(jnp.uint8))
+            cams.append(cam)
+        self.train_cameras = cams[:n_cams]
+        self.test_cameras = cams[n_cams:]
+        self.cameras_extent = 4.0 * 1.1
+
+        # init point cloud: noisy samples of the true means
+        rng = np.random.default_rng(seed)
+        pts = np.asarray(means)[
+            rng.integers(0, n_gaussians, n_init_points)]
+        pts = pts + rng.normal(scale=0.05, size=pts.shape)
+        cols = rng.uniform(0.2, 0.8, (n_init_points, 3))
+        self.point_cloud = PointCloud(
+            points=pts.astype(np.float32), colors=cols.astype(np.float32))

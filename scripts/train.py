@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Training CLI — the TPU counterpart of the reference's train.py.
+
+Flag names mirror /root/reference/arguments/__init__.py param groups so a
+Grendel-GS user can bring their command lines over. Run from the repo root
+(or with PYTHONPATH=<repo>):
+
+  python scripts/train.py -s <scene_dir> -m out/run1 --eval --bsz 4
+  python scripts/train.py --synthetic --iterations 300   # smoke test
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native 3DGS training")
+    # ModelParams
+    p.add_argument("--source_path", "-s", type=str, default="")
+    p.add_argument("--model_path", "-m", type=str, default="")
+    p.add_argument("--images", "-i", type=str, default="images")
+    p.add_argument("--sh_degree", type=int, default=3)
+    p.add_argument("--white_background", "-w", action="store_true")
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--llffhold", type=int, default=8)
+    # OptimizationParams
+    p.add_argument("--iterations", type=int, default=30_000)
+    p.add_argument("--position_lr_init", type=float, default=0.00016)
+    p.add_argument("--position_lr_final", type=float, default=0.0000016)
+    p.add_argument("--position_lr_delay_mult", type=float, default=0.01)
+    p.add_argument("--position_lr_max_steps", type=int, default=30_000)
+    p.add_argument("--feature_lr", type=float, default=0.0025)
+    p.add_argument("--opacity_lr", type=float, default=0.05)
+    p.add_argument("--scaling_lr", type=float, default=0.005)
+    p.add_argument("--rotation_lr", type=float, default=0.001)
+    p.add_argument("--lambda_dssim", type=float, default=0.2)
+    p.add_argument("--percent_dense", type=float, default=0.01)
+    p.add_argument("--densification_interval", type=int, default=100)
+    p.add_argument("--opacity_reset_interval", type=int, default=3000)
+    p.add_argument("--opacity_reset_until_iter", type=int, default=-1)
+    p.add_argument("--densify_from_iter", type=int, default=500)
+    p.add_argument("--densify_until_iter", type=int, default=15_000)
+    p.add_argument("--densify_grad_threshold", type=float, default=0.0002)
+    p.add_argument("--disable_auto_densification", action="store_true")
+    p.add_argument("--min_opacity", type=float, default=0.005)
+    p.add_argument("--lr_scale_mode", type=str, default="sqrt",
+                   choices=["linear", "sqrt", "accumu"])
+    # DistributionParams
+    p.add_argument("--bsz", type=int, default=1)
+    p.add_argument("--gaussians_distribution", type=int, default=1)
+    p.add_argument("--image_distribution", type=int, default=1)
+    p.add_argument("--heuristic_decay", type=float, default=0.0)
+    p.add_argument("--no_heuristics_update", action="store_true")
+    p.add_argument("--redistribute_gaussians_mode", type=str,
+                   default="random_redistribute")
+    p.add_argument("--redistribute_gaussians_frequency", type=int, default=10)
+    p.add_argument("--num_train_cameras", type=int, default=-1)
+    p.add_argument("--num_test_cameras", type=int, default=-1)
+    # schedule / misc
+    p.add_argument("--test_iterations", nargs="+", type=int,
+                   default=[7_000, 30_000])
+    p.add_argument("--save_iterations", nargs="+", type=int,
+                   default=[7_000, 30_000])
+    p.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
+    p.add_argument("--start_checkpoint", type=str, default=None)
+    p.add_argument("--auto_start_checkpoint", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log_interval", type=int, default=250)
+    # TPU-specific
+    p.add_argument("--n_devices", type=int, default=-1,
+                   help="-1 = all visible devices")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX platform, e.g. 'cpu' (with "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                        "for a virtual multi-device mesh)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on a generated synthetic scene (smoke test)")
+    p.add_argument("--synthetic_size", type=str, default="160x120",
+                   help="WxH of the synthetic scene")
+    return p
+
+
+def args_to_config(a):
+    from grendel_tpu.config import TrainConfig
+
+    cfg = TrainConfig()
+    cfg.model.sh_degree = a.sh_degree
+    cfg.model.source_path = a.source_path
+    cfg.model.model_path = a.model_path
+    cfg.model.images = a.images
+    cfg.model.white_background = a.white_background
+    cfg.model.eval = a.eval
+    cfg.model.llffhold = a.llffhold
+    o = cfg.opt
+    for f in ("iterations", "position_lr_init", "position_lr_final",
+              "position_lr_delay_mult", "position_lr_max_steps", "feature_lr",
+              "opacity_lr", "scaling_lr", "rotation_lr", "lambda_dssim",
+              "percent_dense", "densification_interval",
+              "opacity_reset_interval", "opacity_reset_until_iter",
+              "densify_from_iter", "densify_until_iter",
+              "densify_grad_threshold", "disable_auto_densification",
+              "min_opacity", "lr_scale_mode"):
+        setattr(o, f, getattr(a, f))
+    d = cfg.dist
+    d.bsz = a.bsz
+    d.gaussians_distribution = bool(a.gaussians_distribution)
+    d.image_distribution = bool(a.image_distribution)
+    d.heuristic_decay = a.heuristic_decay
+    d.no_heuristics_update = a.no_heuristics_update
+    d.redistribute_gaussians_mode = a.redistribute_gaussians_mode
+    d.redistribute_gaussians_frequency = a.redistribute_gaussians_frequency
+    d.num_train_cameras = a.num_train_cameras
+    d.num_test_cameras = a.num_test_cameras
+    cfg.test_iterations = list(a.test_iterations)
+    cfg.save_iterations = list(a.save_iterations)
+    cfg.checkpoint_iterations = list(a.checkpoint_iterations)
+    cfg.start_checkpoint = a.start_checkpoint
+    cfg.auto_start_checkpoint = a.auto_start_checkpoint
+    cfg.seed = a.seed
+    cfg.log_interval = a.log_interval
+    return cfg.finalize()
+
+
+def main():
+    a = build_parser().parse_args()
+    if not a.synthetic and not a.source_path:
+        raise SystemExit("need --source_path (or --synthetic)")
+    if not a.model_path:
+        a.model_path = os.path.join(
+            "output", "synthetic" if a.synthetic else
+            os.path.basename(os.path.normpath(a.source_path)))
+
+    import jax
+    if a.platform:
+        jax.config.update("jax_platforms", a.platform)
+    from grendel_tpu.engine.trainer import Trainer
+    from grendel_tpu.engine.checkpoint import find_latest_checkpoint
+
+    cfg = args_to_config(a)
+    os.makedirs(cfg.model.model_path, exist_ok=True)
+    with open(os.path.join(cfg.model.model_path, "args.json"), "w") as f:
+        json.dump(vars(a), f, indent=2)
+    if cfg.auto_start_checkpoint and cfg.start_checkpoint is None:
+        cfg.start_checkpoint = find_latest_checkpoint(cfg.model.model_path)
+
+    if a.synthetic:
+        from grendel_tpu.testing import SyntheticScene
+
+        w, h = (int(x) for x in a.synthetic_size.split("x"))
+        scene = SyntheticScene(width=w, height=h, sh_degree=min(a.sh_degree, 1),
+                               seed=a.seed)
+    else:
+        from grendel_tpu.data import Scene
+
+        scene = Scene(
+            a.source_path, images=a.images, eval_split=a.eval,
+            llffhold=a.llffhold, white_background=a.white_background,
+            num_train=a.num_train_cameras, num_test=a.num_test_cameras,
+            seed=a.seed,
+        )
+
+    devices = jax.devices()
+    if a.n_devices > 0:
+        devices = devices[: a.n_devices]
+    ws = len(devices)
+    log_path = os.path.join(cfg.model.model_path,
+                            f"python_ws={ws}_rk=0.log")
+    with open(log_path, "a") as log_file:
+        trainer = Trainer(cfg, scene, devices=devices, log_file=log_file)
+        trainer.train()
+        trainer.save_model(int(jax.device_get(trainer.state.iteration)))
+
+
+if __name__ == "__main__":
+    main()
