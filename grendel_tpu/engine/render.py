@@ -38,6 +38,7 @@ class RenderConfig(NamedTuple):
     isect_capacity: int = 1 << 18
     max_per_tile: int = 2048
     chunk: int = 64
+    backend: str = "jax"   # "jax" | "pallas" (TPU kernel)
 
     @property
     def tiles_x(self) -> int:
@@ -64,12 +65,54 @@ def render_splats(
         cfg.tile_w, cfg.tile_h, cfg.tiles_x, cfg.tiles_y,
         capacity=cfg.isect_capacity,
     )
+    if cfg.backend == "pallas":
+        return _rasterize_tiles_pallas(splats, isect, cfg, bg, tile_mask)
     return rasterize_tiles(
         splats, isect, cfg.img_h, cfg.img_w,
         tile_w=cfg.tile_w, tile_h=cfg.tile_h, bg=bg,
         max_per_tile=cfg.max_per_tile, chunk=cfg.chunk,
         tile_mask=tile_mask,
     )
+
+
+def _rasterize_tiles_pallas(splats, isect, cfg: RenderConfig, bg, tile_mask):
+    """Full-image wrapper over the Pallas tile kernel (same reassembly as
+    rasterize_tiles)."""
+    from ..ops.rasterize_pallas import rasterize_slots_pl
+
+    if bg is None:
+        bg = jnp.zeros(3, dtype=jnp.float32)
+    tiles_x, tiles_y = cfg.tiles_x, cfg.tiles_y
+    num_tiles = tiles_x * tiles_y
+    t_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    slot_px0 = (t_ids % tiles_x) * cfg.tile_w
+    slot_py0 = (t_ids // tiles_x) * cfg.tile_h
+
+    colors, t_final = rasterize_slots_pl(
+        splats.means2d, splats.conics, splats.colors, splats.opacities,
+        isect.gauss_ids, isect.tile_offsets, slot_px0, slot_py0,
+        cfg.tile_w, cfg.tile_h, cfg.max_per_tile,
+    )
+    if tile_mask is not None:
+        colors = colors * tile_mask[:, None, None]
+        t_final = jnp.where(tile_mask[:, None], t_final, 1.0)
+    colors = colors + t_final[..., None] * bg[None, None, :]
+    if tile_mask is not None:
+        colors = colors * tile_mask[:, None, None]
+
+    th, tw = cfg.tile_h, cfg.tile_w
+    img = colors.reshape(tiles_y, tiles_x, th, tw, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * th, tiles_x * tw, 3)
+    img = img[: cfg.img_h, : cfg.img_w].transpose(2, 0, 1)
+    tmap = t_final.reshape(tiles_y, tiles_x, th, tw)
+    tmap = tmap.transpose(0, 2, 1, 3).reshape(tiles_y * th, tiles_x * tw)
+    tmap = tmap[: cfg.img_h, : cfg.img_w]
+    aux = RenderAux(
+        final_t=tmap,
+        n_entries=isect.tile_offsets[1:] - isect.tile_offsets[:-1],
+        num_isects=isect.num_isects,
+    )
+    return img, aux
 
 
 def render_image(

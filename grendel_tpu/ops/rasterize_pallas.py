@@ -1,0 +1,534 @@
+"""Pallas TPU rasterizer: per-tile front-to-back alpha blending kernels.
+
+Drop-in replacement for :func:`rasterize_jax.rasterize_slots` (same
+contract, validated against it in tests) — the TPU counterpart of the
+reference's CUDA ``render_gaussians`` forward/backward (SURVEY.md §2.9).
+
+Design (why it beats the pure-JAX path):
+  * tile entry spans are CHUNK-aligned and entries PRE-GATHERED once into
+    a chunked payload array (n_chunks, 16, CHUNK) by XLA — the kernel then
+    streams whole chunks with DMA (lane dim = CHUNK = 128, satisfying
+    Mosaic's DMA tiling), no per-chunk gathers and no unaligned slices;
+  * the grid is one program per tile slot, executed sequentially on the
+    TensorCore: each tile walks only ITS OWN chunk count (a dynamic trip
+    count on the scalar core), so total work is sum(entries) instead of
+    num_tiles * max_per_tile;
+  * the forward early-exits a tile once every pixel saturates
+    (transmittance < 1e-4) — the front-to-back stop rule of the reference;
+  * the backward re-walks front-to-back, reconstructing each entry's
+    incoming transmittance and the "color contributed after me" term as
+    ``colors_out - running_prefix`` — no back-to-front pass, no divisions
+    by tiny transmittances, no atomics: each entry's gradients are written
+    exactly once to its chunk slot in d_payload, and a single segment-sum
+    scatters entry grads back to Gaussians (padding entries carry a
+    sentinel id that segment_sum drops).
+
+In-kernel orientation: pixels on sublanes (P = tile_h*tile_w rows),
+entries on lanes (CHUNK = 128 cols). Alpha/transmittance prefix products
+run along lanes via log-step shifts (Mosaic has no cumsum lowering).
+
+Payload chunk layout (16, CHUNK) f32 rows:
+  [0] x  [1] y  [2] conic_a  [3] conic_b  [4] conic_c
+  [5] r  [6] g  [7] b  [8] opacity  [9..15] zero padding
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+ALPHA_CLAMP = 0.99
+ALPHA_MIN = 1.0 / 255.0
+T_EPS = 1e-4
+PAYLOAD_W = 16
+CHUNK = 128
+
+
+def _cumsum_lanes(x):
+    """Inclusive prefix sum along the last (lane) axis via log-step rolls."""
+    k = x.shape[-1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    shift = 1
+    while shift < k:
+        shifted = pltpu.roll(x, shift, axis=x.ndim - 1)
+        x = x + jnp.where(cols >= shift, shifted, 0.0)
+        shift *= 2
+    return x
+
+
+def _excl_from_incl(incl, t_unit):
+    """Exclusive prefix product from the inclusive one: shift lanes right by
+    one and put 1.0 in lane 0 (avoids division entirely)."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, incl.shape, incl.ndim - 1)
+    rolled = pltpu.roll(incl, 1, axis=incl.ndim - 1)
+    return jnp.where(cols == 0, t_unit, rolled)
+
+
+def _precise_recip(x):
+    """Reciprocal with one Newton refinement (Mosaic's f32 divide lowers to
+    an approximate reciprocal with ~1e-3 error; one step brings ~1e-7)."""
+    r = 1.0 / x
+    return r * (2.0 - x * r)
+
+
+def _cumprod_lanes(x):
+    """Inclusive prefix product along the last (lane) axis (log-step rolls;
+    exact f32 multiplies — no exp/log, so numerics match the JAX path's
+    cumprod up to reassociation)."""
+    k = x.shape[-1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    shift = 1
+    while shift < k:
+        shifted = pltpu.roll(x, shift, axis=x.ndim - 1)
+        x = x * jnp.where(cols >= shift, shifted, 1.0)
+        shift *= 2
+    return x
+
+
+def _pixel_grid(px0, py0, tile_w: int, tile_h: int):
+    """(P, 1) pixel coordinates of a tile at origin (px0, py0)."""
+    p = tile_w * tile_h
+    idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = px0.astype(jnp.float32) + (idx % tile_w).astype(jnp.float32)
+    py = py0.astype(jnp.float32) + (idx // tile_w).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_alpha(chunk, px, py, c, max_per_tile):
+    """Alpha (P, K) of one payload chunk with the reference skip rules.
+
+    chunk: (16, K) attribute rows; px/py: (P, 1); entries at global
+    position >= max_per_tile within the tile are dropped (exact parity
+    with the JAX path's per-tile cap).
+    """
+    x = chunk[0:1, :]          # (1, K)
+    y = chunk[1:2, :]
+    ca = chunk[2:3, :]
+    cb = chunk[3:4, :]
+    cc = chunk[4:5, :]
+    op = chunk[8:9, :]
+    dx = px - x                # (P, K)
+    dy = py - y
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    alpha = jnp.minimum(ALPHA_CLAMP, op * jnp.exp(power))
+    epos = c * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & (epos < max_per_tile)
+    return jnp.where(keep, alpha, 0.0), dx, dy, power
+
+
+def _fwd_kernel(
+    chunk_lo_ref, n_chunks_ref, px0_ref, py0_ref,   # scalar prefetch
+    payload_hbm,                       # (total_chunks, 16, CHUNK) ANY
+    color_out,                         # (1, P, 4) VMEM block
+    t_out,                             # (1, P, 1) VMEM block
+    chunk_vmem, sem,                   # scratch
+    *, tile_w: int, tile_h: int, max_per_tile: int,
+):
+    t = pl.program_id(0)
+    p = tile_w * tile_h
+    lo = chunk_lo_ref[t]
+    n_chunks = jnp.minimum(n_chunks_ref[t], -(-max_per_tile // CHUNK))
+    px, py = _pixel_grid(px0_ref[t], py0_ref[t], tile_w, tile_h)
+
+    def in_copy(c):
+        return pltpu.make_async_copy(
+            payload_hbm.at[lo + c], chunk_vmem.at[c % 2], sem.at[c % 2])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        in_copy(0).start()
+
+    def body(carry):
+        c, t_in, acc = carry
+        # double buffering: prefetch chunk c+1 while blending chunk c
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            in_copy(c + 1).start()
+
+        in_copy(c).wait()
+        chunk = chunk_vmem[c % 2]
+        alpha, _, _, _ = _chunk_alpha(chunk, px, py, c, max_per_tile)       # (P, K)
+        one_minus = 1.0 - alpha                            # >= 0.01
+        cump = _cumprod_lanes(one_minus)
+        t_after = t_in * cump                              # (P, K)
+        include = t_after >= T_EPS
+        t_before = t_in * _excl_from_incl(cump, 1.0)
+        w = jnp.where(include, alpha * t_before, 0.0)      # (P, K)
+        rgb = chunk[5:8, :]                                # (3, K)
+        # exact f32 VPU accumulation (the MXU would round through bf16)
+        acc = acc + jnp.concatenate(
+            [jnp.sum(w * rgb[0:1, :], axis=1, keepdims=True),
+             jnp.sum(w * rgb[1:2, :], axis=1, keepdims=True),
+             jnp.sum(w * rgb[2:3, :], axis=1, keepdims=True),
+             jnp.zeros((p, 1), jnp.float32)], axis=1)      # (P, 4)
+        t_in = jnp.min(jnp.where(include, t_after, t_in), axis=1,
+                       keepdims=True)                      # (P, 1)
+        return c + 1, t_in, acc
+
+    def cond(carry):
+        c, t_in, _ = carry
+        return (c < n_chunks) & (jnp.max(t_in) >= T_EPS)
+
+    init = (jnp.int32(0), jnp.ones((p, 1), jnp.float32),
+            jnp.zeros((p, 4), jnp.float32))
+    _, t_fin, acc = jax.lax.while_loop(cond, body, init)
+    color_out[0] = acc
+    t_out[0] = t_fin
+
+
+def _bwd_kernel(
+    chunk_lo_ref, n_chunks_ref, px0_ref, py0_ref,   # scalar prefetch
+    payload_hbm,                       # (total_chunks, 16, CHUNK) ANY
+    aux_ref,                           # (1, P, 8) VMEM: [c_total(3), g(3),
+                                       #  T_fin*dT(1), pad(1)] per pixel
+    d_payload_hbm,                     # (total_chunks, 16, CHUNK) ANY out
+    chunk_vmem, dchunk_vmem, sem, sem_out,
+    *, tile_w: int, tile_h: int, max_per_tile: int,
+):
+    t = pl.program_id(0)
+    p = tile_w * tile_h
+    lo = chunk_lo_ref[t]
+    n_chunks = jnp.minimum(n_chunks_ref[t], -(-max_per_tile // CHUNK))
+    px, py = _pixel_grid(px0_ref[t], py0_ref[t], tile_w, tile_h)
+
+    aux = aux_ref[0]                   # (P, 8)
+    ct_r = aux[:, 0:1]
+    ct_g = aux[:, 1:2]
+    ct_b = aux[:, 2:3]
+    g_r = aux[:, 3:4]
+    g_g = aux[:, 4:5]
+    g_b = aux[:, 5:6]
+    gt = aux[:, 6:7]                   # (P, 1) — already * T_fin
+    # g . c_total, loop-invariant per pixel
+    ctg = ct_r * g_r + ct_g * g_g + ct_b * g_b
+
+    def in_copy(c):
+        return pltpu.make_async_copy(
+            payload_hbm.at[lo + c], chunk_vmem.at[c % 2], sem.at[c % 2])
+
+    def out_copy(c):
+        return pltpu.make_async_copy(
+            dchunk_vmem.at[c % 2], d_payload_hbm.at[lo + c], sem_out.at[c % 2])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        in_copy(0).start()
+
+    def body(carry):
+        c, t_in, s_pref = carry        # (), (P, 1), (P, 1)
+        # double buffering: prefetch chunk c+1 while differentiating chunk c
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            in_copy(c + 1).start()
+
+        in_copy(c).wait()
+        chunk = chunk_vmem[c % 2]
+        alpha, dx, dy, power = _chunk_alpha(chunk, px, py, c, max_per_tile)
+        one_minus = 1.0 - alpha                            # >= 0.01
+        cump = _cumprod_lanes(one_minus)
+        t_after = t_in * cump
+        include = t_after >= T_EPS
+        t_before = t_in * _excl_from_incl(cump, 1.0)
+        w = jnp.where(include, alpha * t_before, 0.0)       # (P, K)
+        rgb = chunk[5:8, :]                                 # (3, K)
+
+        # dL/dalpha_i = g.(T_i c_i) - [g.B_i + T_fin*dL/dT_fin]/(1-a_i)
+        # with B_i = c_total - prefix_i. Only g.B_i is needed, so a single
+        # prefix scan of w * (g . c) suffices (instead of one per channel).
+        c_dot_g = rgb[0:1, :] * g_r + rgb[1:2, :] * g_g + rgb[2:3, :] * g_b
+        wc = w * c_dot_g
+        s_incl = s_pref + _cumsum_lanes(wc)                 # (P, K)
+        b_dot_g = ctg - s_incl
+        inv_om = _precise_recip(one_minus)
+        d_alpha = jnp.where(
+            include, t_before * c_dot_g - inv_om * (b_dot_g + gt), 0.0)
+
+        # alpha = min(0.99, o * exp(power)); clamped/skipped entries get 0.
+        g_exp = jnp.exp(power)
+        not_clamped = (chunk[8:9, :] * g_exp) < ALPHA_CLAMP
+        live = (alpha > 0.0) & not_clamped
+        d_alpha = jnp.where(live, d_alpha, 0.0)
+        d_o = jnp.sum(d_alpha * g_exp, axis=0, keepdims=True)
+        d_power = d_alpha * alpha                            # o e^p == alpha
+        ca = chunk[2:3, :]
+        cb = chunk[3:4, :]
+        cc = chunk[4:5, :]
+        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
+        d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
+        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+        d_dx = d_power * (-ca * dx - cb * dy)
+        d_dy = d_power * (-cc * dy - cb * dx)
+        d_x = jnp.sum(-d_dx, axis=0, keepdims=True)          # dx = px - x
+        d_y = jnp.sum(-d_dy, axis=0, keepdims=True)
+        # exact f32 VPU reductions (MXU would round through bf16)
+        d_rgb = jnp.concatenate(
+            [jnp.sum(w * g_r, axis=0, keepdims=True),
+             jnp.sum(w * g_g, axis=0, keepdims=True),
+             jnp.sum(w * g_b, axis=0, keepdims=True)], axis=0)   # (3, K)
+
+        # drain the out-copy that used this slot two iterations ago before
+        # overwriting the buffer; remaining copies drain after the loop
+        @pl.when(c >= 2)
+        def _():
+            out_copy(c - 2).wait()
+
+        dchunk_vmem[c % 2] = jnp.concatenate(
+            [d_x, d_y, d_ca, d_cb, d_cc, d_rgb, d_o,
+             jnp.zeros((PAYLOAD_W - 9, CHUNK), jnp.float32)],
+            axis=0,
+        )
+        out_copy(c).start()
+
+        t_in = jnp.min(jnp.where(include, t_after, t_in), axis=1,
+                       keepdims=True)
+        s_pref = s_pref + jnp.sum(wc, axis=1, keepdims=True)
+        return c + 1, t_in, s_pref
+
+    def cond(carry):
+        c, t_in, _ = carry
+        # same stop rule as the forward: once every pixel is saturated no
+        # later entry was included, so all remaining gradients are zero
+        return (c < n_chunks) & (jnp.max(t_in) >= T_EPS)
+
+    init = (jnp.int32(0), jnp.ones((p, 1), jnp.float32),
+            jnp.zeros((p, 1), jnp.float32))
+    c_stop, _, _ = jax.lax.while_loop(cond, body, init)
+
+    @pl.when(c_stop >= 2)
+    def _():
+        out_copy(c_stop - 2).wait()
+
+    @pl.when(c_stop >= 1)
+    def _():
+        out_copy(c_stop - 1).wait()
+
+    # zero-fill the chunks the early exit skipped (their entries were never
+    # included, so their gradients are exactly zero)
+    @pl.when(c_stop < n_chunks)
+    def _():
+        dchunk_vmem[0] = jnp.zeros((PAYLOAD_W, CHUNK), jnp.float32)
+        dchunk_vmem[1] = jnp.zeros((PAYLOAD_W, CHUNK), jnp.float32)
+
+        def fill(c, _):
+            cp = pltpu.make_async_copy(
+                dchunk_vmem.at[c % 2], d_payload_hbm.at[lo + c],
+                sem_out.at[c % 2])
+            cp.start()
+            cp.wait()
+            return 0
+
+        jax.lax.fori_loop(c_stop, n_chunks, fill, 0)
+
+
+# --------------------------------------------------------------------------
+# host-side assembly
+# --------------------------------------------------------------------------
+
+
+def _align_entries(gauss_ids: Array, tile_offsets: Array, sentinel: int):
+    """CHUNK-align each tile's entry span.
+
+    Returns (ids2 ((total_chunks*CHUNK),), chunk_lo (T,), n_chunks (T,)).
+    Padding entries get ``sentinel`` as their Gaussian id (dropped by
+    segment_sum). total_chunks is static: capacity/CHUNK + T.
+    """
+    t_slots = tile_offsets.shape[0] - 1
+    cap = gauss_ids.shape[0]
+    n = tile_offsets[1:] - tile_offsets[:-1]                # (T,)
+    n_chunks = -(-n // CHUNK)
+    chunk_lo = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(n_chunks)]).astype(jnp.int32)
+    total_chunks = cap // CHUNK + t_slots                   # static bound
+    q = jnp.arange(total_chunks * CHUNK, dtype=jnp.int32)
+    qc = q // CHUNK
+    tile_of = jnp.clip(
+        jnp.searchsorted(chunk_lo, qc, side="right") - 1, 0, t_slots - 1
+    ).astype(jnp.int32)
+    i = q - chunk_lo[tile_of] * CHUNK
+    valid = (qc < chunk_lo[t_slots]) & (i < n[tile_of])
+    src = jnp.clip(tile_offsets[tile_of] + i, 0, cap - 1)
+    ids2 = jnp.where(valid, gauss_ids[src], sentinel).astype(jnp.int32)
+    return ids2, chunk_lo[:-1], n_chunks.astype(jnp.int32)
+
+
+def _build_payload(means2d, conics, colors, opacities, ids2):
+    """(total_chunks, 16, CHUNK) chunked payload from aligned entry ids."""
+    n = means2d.shape[0]
+    ok = ids2 < n
+    ids_c = jnp.clip(ids2, 0, n - 1)
+    cols = jnp.concatenate(
+        [
+            means2d[ids_c],
+            conics[ids_c],
+            colors[ids_c],
+            opacities[ids_c][:, None],
+            jnp.zeros((ids2.shape[0], PAYLOAD_W - 9), jnp.float32),
+        ],
+        axis=-1,
+    )
+    cols = jnp.where(ok[:, None], cols, 0.0)
+    total_chunks = ids2.shape[0] // CHUNK
+    return cols.reshape(total_chunks, CHUNK, PAYLOAD_W).transpose(0, 2, 1)
+
+
+def _fwd_impl(gathered, ids2, chunk_lo, n_chunks, slot_px0, slot_py0,
+              tile_w, tile_h, max_per_tile, interpret):
+    payload = _build_payload(
+        gathered["means2d"], gathered["conics"], gathered["colors"],
+        gathered["opacities"], ids2)
+    t_slots = slot_px0.shape[0]
+    p = tile_w * tile_h
+    max_chunks = -(-max_per_tile // CHUNK)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(t_slots,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, p, 4), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, PAYLOAD_W, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _fwd_kernel, tile_w=tile_w, tile_h=tile_h, max_per_tile=max_per_tile)
+    colors4, t_fin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t_slots, p, 4), jnp.float32),
+            jax.ShapeDtypeStruct((t_slots, p, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(chunk_lo, n_chunks, slot_px0, slot_py0, payload)
+    t_fin = t_fin[:, :, 0]
+    colors_pix = colors4[:, :, :3]               # (T, P, 3)
+    out = (colors_pix, t_fin)
+    return out, (colors_pix, t_fin)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _rasterize_core(
+    gathered, ids2, chunk_lo, n_chunks, slot_px0, slot_py0,
+    tile_w, tile_h, max_per_tile, interpret, num_gaussians,
+):
+    out, _ = _fwd_impl(gathered, ids2, chunk_lo, n_chunks, slot_px0,
+                       slot_py0, tile_w, tile_h, max_per_tile, interpret)
+    return out
+
+
+def _core_fwd(gathered, ids2, chunk_lo, n_chunks, slot_px0, slot_py0,
+              tile_w, tile_h, max_per_tile, interpret, num_gaussians):
+    out, (colors_pix, t_fin) = _fwd_impl(
+        gathered, ids2, chunk_lo, n_chunks, slot_px0, slot_py0,
+        tile_w, tile_h, max_per_tile, interpret)
+    return out, (gathered, colors_pix, t_fin, ids2, chunk_lo, n_chunks,
+                 slot_px0, slot_py0)
+
+
+def _core_bwd(tile_w, tile_h, max_per_tile, interpret, num_gaussians,
+              res, cotangents):
+    gathered, colors_pix, t_fin, ids2, chunk_lo, n_chunks, px0, py0 = res
+    payload = _build_payload(
+        gathered["means2d"], gathered["conics"], gathered["colors"],
+        gathered["opacities"], ids2)
+    g_colors, g_t = cotangents              # (T, P, 3), (T, P)
+    t_slots = px0.shape[0]
+    p = tile_w * tile_h
+    # per-pixel aux pack: [c_total(3) | g(3) | T_fin * dT(1) | pad]
+    aux = jnp.concatenate(
+        [
+            colors_pix,                                 # (T, P, 3)
+            g_colors,                                   # (T, P, 3)
+            (g_t * t_fin)[:, :, None],                  # (T, P, 1)
+            jnp.zeros((t_slots, p, 1), jnp.float32),
+        ],
+        axis=-1,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(t_slots,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, PAYLOAD_W, CHUNK), jnp.float32),
+            pltpu.VMEM((2, PAYLOAD_W, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _bwd_kernel, tile_w=tile_w, tile_h=tile_h, max_per_tile=max_per_tile)
+    d_payload = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(payload.shape, jnp.float32)],
+        interpret=interpret,
+    )(chunk_lo, n_chunks, px0, py0, payload, aux)[0]
+
+    # zero chunks the kernel never visited (beyond a tile's max_chunks cap,
+    # or the unused static slack beyond the last tile's span)
+    total_chunks = payload.shape[0]
+    chunk_hi = chunk_lo + jnp.minimum(n_chunks, -(-max_per_tile // CHUNK))
+    qc = jnp.arange(total_chunks, dtype=jnp.int32)
+    tile_of = jnp.clip(
+        jnp.searchsorted(chunk_lo, qc, side="right") - 1, 0, t_slots - 1)
+    within = (qc >= chunk_lo[tile_of]) & (qc < chunk_hi[tile_of])
+    d_payload = jnp.where(within[:, None, None], d_payload, 0.0)
+    d_entries = d_payload.transpose(0, 2, 1).reshape(-1, PAYLOAD_W)
+
+    d_all = jax.ops.segment_sum(d_entries, segment_ids=ids2,
+                                num_segments=num_gaussians)
+    d_gathered = {
+        "means2d": d_all[:, 0:2],
+        "conics": d_all[:, 2:5],
+        "colors": d_all[:, 5:8],
+        "opacities": d_all[:, 8],
+    }
+    return (d_gathered, None, None, None, None, None)
+
+
+_rasterize_core.defvjp(_core_fwd, _core_bwd)
+
+
+def rasterize_slots_pl(
+    means2d: Array, conics: Array, colors: Array, opacities: Array,
+    gauss_ids: Array, tile_offsets: Array, slot_px0: Array, slot_py0: Array,
+    tile_w: int, tile_h: int, max_per_tile: int, chunk: int = CHUNK,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Pallas-backed tile blending; same contract as rasterize_slots.
+
+    ``chunk`` is accepted for API parity but the kernel always uses
+    CHUNK=128 (the TPU lane width).
+    """
+    n = means2d.shape[0]
+    ids2, chunk_lo, n_chunks = _align_entries(gauss_ids, tile_offsets, n)
+    gathered = {
+        "means2d": means2d,
+        "conics": conics,
+        "colors": colors,
+        "opacities": opacities,
+    }
+    return _rasterize_core(
+        gathered, ids2, chunk_lo, n_chunks,
+        slot_px0.astype(jnp.int32), slot_py0.astype(jnp.int32),
+        tile_w, tile_h, max_per_tile, interpret, n,
+    )

@@ -81,6 +81,7 @@ class ParallelConfig(NamedTuple):
     chunk: int = 64
     row_slack: float = 2.0      # n_row_slots = slack * ceil(rows / D)
     send_cap_factor: float = 1.0  # send_cap = factor * N_loc
+    backend: str = "jax"        # "jax" | "pallas" (TPU kernel)
 
     @property
     def tiles_x(self) -> int:
@@ -252,11 +253,20 @@ def _render_owned_rows(
     px0 = (s % tiles_x) * cfg.tile_w
     py0 = ty * cfg.tile_h
 
-    colors, t_final = rasterize_slots(
-        means2d, conics, rgbs, opacs,
-        isect.gauss_ids, isect.tile_offsets, px0, py0,
-        cfg.tile_w, cfg.tile_h, cfg.max_per_tile, cfg.chunk,
-    )
+    if cfg.backend == "pallas":
+        from ..ops.rasterize_pallas import rasterize_slots_pl
+
+        colors, t_final = rasterize_slots_pl(
+            means2d, conics, rgbs, opacs,
+            isect.gauss_ids, isect.tile_offsets, px0, py0,
+            cfg.tile_w, cfg.tile_h, cfg.max_per_tile,
+        )
+    else:
+        colors, t_final = rasterize_slots(
+            means2d, conics, rgbs, opacs,
+            isect.gauss_ids, isect.tile_offsets, px0, py0,
+            cfg.tile_w, cfg.tile_h, cfg.max_per_tile, cfg.chunk,
+        )
     colors = colors + t_final[..., None] * bg[None, None, :]
 
     # (S, P, 3) -> (R, 3, tile_h, W)
