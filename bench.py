@@ -59,8 +59,9 @@ def main():
     )
     alive = jnp.arange(capacity) < n_live
 
+    backend = "pallas" if jax.default_backend() == "tpu" else "jax"
     cfg = RenderConfig(img_h=h, img_w=w, isect_capacity=1 << 21,
-                       max_per_tile=1024, chunk=64)
+                       max_per_tile=1024, chunk=64, backend=backend)
     cams_host = [make_test_camera(w, h, dist=5.0, angle=0.1 * i)
                  for i in range(bsz)]
     cams = batch_camera_arrays(cams_host)

@@ -45,6 +45,9 @@ class PipelineConfig:
     isect_capacity_factor: float = 8.0   # capacity = factor * N (re-tuned on overflow)
     max_per_tile: int = 2048             # per-tile blend depth cutoff
     chunk: int = 64                      # gaussians blended per scan step
+    # rasterizer backend: "auto" = pallas on TPU, jax elsewhere (the two
+    # backends mirror the reference's default/gsplat backend pair)
+    backend: str = "auto"
     debug: bool = False
 
 

@@ -165,6 +165,17 @@ def render_batch(
         img, aux = render_splats(splats, cfg, bg=bg)
         return img, splats, aux
 
+    if cfg.backend == "pallas":
+        # pallas_call + scalar prefetch doesn't compose with vmap; unroll
+        # the (small, static) camera batch instead
+        b = cams.viewmat.shape[0]
+        outs = [
+            one(cams.viewmat[i], cams.full_proj[i], cams.campos[i],
+                cams.tanfov[i],
+                None if means2d_tap is None else means2d_tap[i])
+            for i in range(b)
+        ]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
     if means2d_tap is None:
         fn = lambda vm, fp, cp, tf: one(vm, fp, cp, tf, None)
         return jax.vmap(fn)(cams.viewmat, cams.full_proj, cams.campos, cams.tanfov)

@@ -141,12 +141,16 @@ class Trainer:
         # local-shard slot; overflow shows up in the num_isects metric.
         isect_cap = 1 << max(
             14, int(np.ceil(np.log2(p.isect_capacity_factor * n_loc))))
+        backend = p.backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "jax"
         return ParallelConfig(
             n_devices=self.n_devices, bsz=bsz,
             img_h=self.img_h, img_w=self.img_w,
             tile_w=p.tile_w, tile_h=p.tile_h,
             isect_capacity=isect_cap,
             max_per_tile=p.max_per_tile, chunk=p.chunk,
+            backend=backend,
         ).resolved(n_loc)
 
     def _trainer(self, sh_degree: int) -> ShardedTrainer:

@@ -33,6 +33,23 @@ class TileIntersections(NamedTuple):
     num_isects: Array    # () int32 — true total (may exceed capacity => overflow)
 
 
+def _segment_broadcast(values: Array, seg_starts: Array, capacity: int) -> Array:
+    """Broadcast per-segment values over a flat entry axis without gathers.
+
+    Segment i covers entries [seg_starts[i], seg_starts[i+1]); returns
+    out (capacity,) with out[e] = values[segment containing e]. Implemented
+    as scatter-add of value deltas at segment starts + cumsum — O(N + E)
+    with NO gather (XLA TPU gathers of E random indices are ~10x slower
+    than a cumsum of the same length; measured 30ms vs 5ms at E=2M).
+    Zero-length segments scatter onto the same position and telescope
+    correctly through the add.
+    """
+    deltas = jnp.diff(values, prepend=0)
+    buf = jnp.zeros((capacity,), values.dtype).at[seg_starts].add(
+        jnp.where(seg_starts < capacity, deltas, 0), mode="drop")
+    return jnp.cumsum(buf)
+
+
 def gaussian_tile_rect(means2d: Array, radii: Array, tile_w: int, tile_h: int,
                        tiles_x: int, tiles_y: int):
     """Inclusive-exclusive tile rect [x0,x1) x [y0,y1) of each Gaussian's bbox.
@@ -94,24 +111,33 @@ def isect_tile_rows(
     cum = jnp.cumsum(counts)
     total = cum[-1]
 
+    # gather-free expansion (see isect_tiles): broadcast per-gaussian
+    # attributes over the entry axis via scatter-deltas + cumsum
     e = jnp.arange(capacity, dtype=jnp.int32)
-    g = jnp.searchsorted(cum, e, side="right").astype(jnp.int32)
-    g = jnp.clip(g, 0, m2d.shape[0] - 1)
-    start = cum[g] - counts[g]
-    within = e - start
-    sx = jnp.maximum(spanx[g], 1)
-    dy = within // sx
-    dx = within - dy * sx
-    ty = ty_lo[g] + dy
-    tx = x0[g] + dx
-    slot = (cam[g] * tiles_y + ty - row_lo) * tiles_x + tx
+    seg_starts = (cum - counts).astype(jnp.int32)
+    startb = _segment_broadcast(seg_starts, seg_starts, capacity)
+    packed = (x0 | (ty_lo << 10) | (spanx << 20)).astype(jnp.int32)
+    packedb = _segment_broadcast(packed, seg_starts, capacity)
+    x0b = packedb & 0x3FF
+    tylob = (packedb >> 10) & 0x3FF
+    sxb = jnp.maximum(packedb >> 20, 1)
+    gid = _segment_broadcast(order.astype(jnp.int32), seg_starts, capacity)
+    camb = _segment_broadcast(cam.astype(jnp.int32), seg_starts, capacity)
+
+    within = e - startb
+    dy = within // sxb
+    dx = within - dy * sxb
+    ty = tylob + dy
+    tx = x0b + dx
+    slot = (camb * tiles_y + ty - row_lo) * tiles_x + tx
     valid = (e < total) & (slot >= 0) & (slot < num_slots)
     slot = jnp.where(valid, slot, num_slots).astype(jnp.int32)
 
-    gid = order[g].astype(jnp.int32)
     slot_sorted, gid_sorted = jax.lax.sort_key_val(slot, gid, is_stable=True)
-    tile_offsets = jnp.searchsorted(
-        slot_sorted, jnp.arange(num_slots + 1, dtype=jnp.int32), side="left"
+    counts_per = jnp.zeros((num_slots + 1,), jnp.int32).at[
+        jnp.clip(slot, 0, num_slots)].add(1)
+    tile_offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_per[:num_slots])]
     ).astype(jnp.int32)
 
     return TileIntersections(
@@ -144,27 +170,36 @@ def isect_tiles(
     cum = jnp.cumsum(counts)                       # inclusive
     total = cum[-1]
 
-    # 3. expand: entry e belongs to depth-rank g with cum[g-1] <= e < cum[g]
+    # 3. expand: entry e belongs to depth-rank g with cum[g-1] <= e < cum[g].
+    # All per-entry attributes are piecewise-constant in e (g is monotone),
+    # so broadcast them with scatter-deltas + cumsum instead of gathers
+    # (XLA TPU gathers at E=2M cost ~30ms each; a cumsum ~5ms).
     e = jnp.arange(capacity, dtype=jnp.int32)
-    g = jnp.searchsorted(cum, e, side="right").astype(jnp.int32)
-    g = jnp.clip(g, 0, m2d.shape[0] - 1)
-    start = cum[g] - counts[g]
-    within = e - start
-    sx = jnp.maximum(spanx[g], 1)
-    dy = within // sx
-    dx = within - dy * sx
-    ty = y0[g] + dy
-    tx = x0[g] + dx
+    seg_starts = (cum - counts).astype(jnp.int32)
+    startb = _segment_broadcast(seg_starts, seg_starts, capacity)
+    packed = (x0 | (y0 << 10) | (spanx << 20)).astype(jnp.int32)
+    packedb = _segment_broadcast(packed, seg_starts, capacity)
+    x0b = packedb & 0x3FF
+    y0b = (packedb >> 10) & 0x3FF
+    sxb = jnp.maximum(packedb >> 20, 1)
+    gid = _segment_broadcast(order.astype(jnp.int32), seg_starts, capacity)
+
+    within = e - startb
+    dy = within // sxb
+    dx = within - dy * sxb
+    ty = y0b + dy
+    tx = x0b + dx
     valid = e < total
     tile = jnp.where(valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
 
     # 4. stable sort by tile id, carrying the original Gaussian index
-    gid = order[g].astype(jnp.int32)
     tile_sorted, gid_sorted = jax.lax.sort_key_val(tile, gid, is_stable=True)
 
-    # 5. per-tile offsets
-    tile_offsets = jnp.searchsorted(
-        tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    # 5. per-tile offsets via bincount + cumsum (no search)
+    counts_per = jnp.zeros((num_tiles + 1,), jnp.int32).at[
+        jnp.clip(tile, 0, num_tiles)].add(1)
+    tile_offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_per[:num_tiles])]
     ).astype(jnp.int32)
 
     return TileIntersections(

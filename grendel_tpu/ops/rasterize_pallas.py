@@ -346,15 +346,18 @@ def _align_entries(gauss_ids: Array, tile_offsets: Array, sentinel: int):
     chunk_lo = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(n_chunks)]).astype(jnp.int32)
     total_chunks = cap // CHUNK + t_slots                   # static bound
-    q = jnp.arange(total_chunks * CHUNK, dtype=jnp.int32)
-    qc = q // CHUNK
+    # per-CHUNK bookkeeping (total_chunks ~ E/128 queries: cheap), expanded
+    # to per-entry by broadcasting over the lane axis
+    qc = jnp.arange(total_chunks, dtype=jnp.int32)
     tile_of = jnp.clip(
         jnp.searchsorted(chunk_lo, qc, side="right") - 1, 0, t_slots - 1
     ).astype(jnp.int32)
-    i = q - chunk_lo[tile_of] * CHUNK
-    valid = (qc < chunk_lo[t_slots]) & (i < n[tile_of])
-    src = jnp.clip(tile_offsets[tile_of] + i, 0, cap - 1)
-    ids2 = jnp.where(valid, gauss_ids[src], sentinel).astype(jnp.int32)
+    lane = jnp.arange(CHUNK, dtype=jnp.int32)
+    i = (qc - chunk_lo[tile_of])[:, None] * CHUNK + lane[None, :]  # (TC, K)
+    valid = (qc < chunk_lo[t_slots])[:, None] & (i < n[tile_of][:, None])
+    src = jnp.clip(tile_offsets[tile_of][:, None] + i, 0, cap - 1)
+    ids2 = jnp.where(valid, gauss_ids[src.reshape(-1)].reshape(src.shape),
+                     sentinel).astype(jnp.int32).reshape(-1)
     return ids2, chunk_lo[:-1], n_chunks.astype(jnp.int32)
 
 
@@ -489,7 +492,8 @@ def _core_bwd(tile_w, tile_h, max_per_tile, interpret, num_gaussians,
     chunk_hi = chunk_lo + jnp.minimum(n_chunks, -(-max_per_tile // CHUNK))
     qc = jnp.arange(total_chunks, dtype=jnp.int32)
     tile_of = jnp.clip(
-        jnp.searchsorted(chunk_lo, qc, side="right") - 1, 0, t_slots - 1)
+        jnp.searchsorted(chunk_lo, qc, side="right", method="sort") - 1,
+        0, t_slots - 1)
     within = (qc >= chunk_lo[tile_of]) & (qc < chunk_hi[tile_of])
     d_payload = jnp.where(within[:, None, None], d_payload, 0.0)
     d_entries = d_payload.transpose(0, 2, 1).reshape(-1, PAYLOAD_W)

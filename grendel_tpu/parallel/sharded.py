@@ -167,7 +167,12 @@ def _route_pack_exchange(
     ).astype(jnp.int32)
     dest_start = dest_start_full[:d_count]
     pos = jnp.arange(e_total, dtype=jnp.int32)
-    rank = pos - dest_start[jnp.clip(sorted_dest, 0, d_count - 1)]
+    # start position of each entry's destination segment, broadcast over the
+    # sorted axis without a gather (sorted_dest is monotone)
+    seg_start_b = jnp.cumsum(
+        jnp.zeros((e_total,), jnp.int32).at[dest_start].add(
+            jnp.diff(dest_start, prepend=0), mode="drop"))
+    rank = pos - seg_start_b
     in_cap = (sorted_dest < d_count) & (rank < cap)
     slot = jnp.where(in_cap, sorted_dest * cap + rank, d_count * cap)
 
