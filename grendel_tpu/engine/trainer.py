@@ -212,6 +212,21 @@ class Trainer:
         self.state = self._shard(new_state)
         self._log(f"capacity grown: {old_local} -> {new_local} per shard")
 
+    def _pack_gt(self, batch: List[Camera], pos_np: np.ndarray,
+                 pcfg: ParallelConfig) -> np.ndarray:
+        """GT row packing: native threaded memcpy when available, numpy
+        fallback otherwise (identical output, tested)."""
+        from .. import native
+
+        if native.HAVE_NATIVE:
+            return native.pack_gt_rows_c(
+                [c.gt_image_u8 for c in batch], pos_np.astype(np.int32),
+                self.n_devices, pcfg.n_row_slots, pcfg.tile_h,
+                self.img_h, self.img_w)
+        return pack_gt_rows(
+            batch, pos_np, self.n_devices, pcfg.n_row_slots,
+            pcfg.tile_h, self.img_h, self.img_w)
+
     # ------------------------------------------------------------------
 
     def eval_psnr(self, cameras: List[Camera], sh_degree: int,
@@ -264,8 +279,7 @@ class Trainer:
             heur = self.history.heuristic_for(batch)
             pos_np = divide_rows(heur, self.n_devices, pcfg.n_row_slots)
             gt_rows = jax.device_put(
-                pack_gt_rows(batch, pos_np, self.n_devices, pcfg.n_row_slots,
-                             pcfg.tile_h, self.img_h, self.img_w),
+                self._pack_gt(batch, pos_np, pcfg),
                 trainer.sharding_for(P("d")))
 
             self.state, metrics = trainer.step(
