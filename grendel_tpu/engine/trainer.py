@@ -144,6 +144,10 @@ class Trainer:
         backend = p.backend
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+        # single device => replicated mode (no routing overhead), matching
+        # the reference's init_args ws==1 fixup (arguments/__init__.py:286-292)
+        gauss_dist = (self.cfg.dist.gaussians_distribution
+                      and self.n_devices > 1)
         return ParallelConfig(
             n_devices=self.n_devices, bsz=bsz,
             img_h=self.img_h, img_w=self.img_w,
@@ -151,6 +155,7 @@ class Trainer:
             isect_capacity=isect_cap,
             max_per_tile=p.max_per_tile, chunk=p.chunk,
             backend=backend,
+            gaussians_distribution=gauss_dist,
         ).resolved(n_loc)
 
     def _trainer(self, sh_degree: int) -> ShardedTrainer:
@@ -174,6 +179,8 @@ class Trainer:
         old_local = self.n_local
         new_local = old_local * 2
         host = self._gather_state()
+        # (block-interleaved padding is also fine in replicated mode: free
+        # slots may live anywhere on the capacity axis)
         d = self.n_devices
 
         def grow(x, fill=0.0):

@@ -82,6 +82,9 @@ class ParallelConfig(NamedTuple):
     row_slack: float = 2.0      # n_row_slots = slack * ceil(rows / D)
     send_cap_factor: float = 1.0  # send_cap = factor * N_loc
     backend: str = "jax"        # "jax" | "pallas" (TPU kernel)
+    # False = replicated Gaussians + dense grad psum (the reference's
+    # --gaussians_distribution False legacy-DP mode; pixel sharding stays on)
+    gaussians_distribution: bool = True
 
     @property
     def tiles_x(self) -> int:
@@ -386,19 +389,76 @@ def _local_forward(
 # --------------------------------------------------------------------------
 
 
-def _state_specs() -> TrainState:
-    """PartitionSpec pytree for TrainState (capacity axis sharded)."""
-    p_params = GaussianParams(*(P(AXIS) for _ in GaussianParams._fields))
+def _state_specs(replicated: bool = False) -> TrainState:
+    """PartitionSpec pytree for TrainState (capacity axis sharded, or fully
+    replicated for the legacy-DP mode)."""
+    ax = P() if replicated else P(AXIS)
+    p_params = GaussianParams(*(ax for _ in GaussianParams._fields))
     from ..models.optimizer import AdamState
     from ..models.densify import DensifyStats
 
     return TrainState(
         params=p_params,
-        alive=P(AXIS),
+        alive=ax,
         adam=AdamState(mu=p_params, nu=p_params, count=P()),
-        stats=DensifyStats(grad_accum=P(AXIS), denom=P(AXIS), max_radii=P(AXIS)),
+        stats=DensifyStats(grad_accum=ax, denom=ax, max_radii=ax),
         iteration=P(),
     )
+
+
+def _local_forward_replicated(
+    params: GaussianParams,
+    alive: Array,
+    tap: Array,                 # (B, N, 2)
+    cams: CameraArrays,
+    gt_rows: Array,
+    division_pos: Array,
+    bg: Array,
+    cfg: ParallelConfig,
+    sh_degree: int,
+    lambda_dssim: float,
+):
+    """Replicated-Gaussian forward: every device projects the FULL set and
+    renders its own row span — no all-to-all (ref legacy DP mode)."""
+    act = activated(params)
+
+    def proj(vm, fp, cp, tf):
+        return project_gaussians(
+            act.means3d, act.scales, act.quats, act.opacities, act.sh,
+            alive, vm, fp, cp, tf, cfg.img_h, cfg.img_w, sh_degree,
+        )
+
+    splats = jax.vmap(proj)(cams.viewmat, cams.full_proj, cams.campos,
+                            cams.tanfov)
+    b, n = splats.radii.shape
+    means2d = (splats.means2d + tap).reshape(b * n, 2)
+    payload = jnp.concatenate(
+        [means2d, splats.conics.reshape(-1, 3), splats.colors.reshape(-1, 3),
+         splats.opacities.reshape(-1, 1)], axis=-1)
+    cam_of = (jnp.arange(b * n, dtype=jnp.int32) // n).astype(jnp.float32)
+    meta = jnp.stack(
+        [cam_of, splats.radii.reshape(-1).astype(jnp.float32),
+         splats.depths.reshape(-1), jnp.ones((b * n,), jnp.float32)], axis=-1)
+
+    d_idx = jax.lax.axis_index(AXIS)
+    row_lo = division_pos[d_idx]
+    row_hi = division_pos[d_idx + 1]
+    rows, mask, cam_of_row, per_row_entries, num_isects = _render_owned_rows(
+        payload, jax.lax.stop_gradient(meta), row_lo, row_hi, cfg, bg,
+    )
+    gt = gt_rows.astype(jnp.float32) / 255.0
+    partial, l1_part, ssim_part = _row_span_loss(
+        rows, gt, mask, cam_of_row, cfg, lambda_dssim,
+    )
+    aux = {
+        "l1_partial": l1_part,
+        "ssim_partial": ssim_part,
+        "radii": splats.radii,
+        "per_row_entries": per_row_entries,
+        "num_isects": num_isects,
+        "a2a_overflow": jnp.zeros((), jnp.int32),
+    }
+    return partial, aux
 
 
 class ShardedTrainer:
@@ -426,7 +486,7 @@ class ShardedTrainer:
     # -- sharding helpers --------------------------------------------------
 
     def shard_state(self, state: TrainState) -> TrainState:
-        specs = _state_specs()
+        specs = _state_specs(not self.cfg.gaussians_distribution)
         return jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
             state, specs,
@@ -447,13 +507,15 @@ class ShardedTrainer:
         bsz = cfg.bsz
 
         cam_spec = CameraArrays(viewmat=P(), full_proj=P(), campos=P(), tanfov=P())
-        state_spec = _state_specs()
+        replicated = not cfg.gaussians_distribution
+        state_spec = _state_specs(replicated)
+        forward = _local_forward_replicated if replicated else _local_forward
 
         def step_shard(state: TrainState, cams, gt_rows, division_pos, bg):
             gt_local = gt_rows[0]          # (1, R, ...) -> (R, ...)
 
             def loss_fn(params_loc, tap):
-                partial, aux = _local_forward(
+                partial, aux = forward(
                     params_loc, state.alive, tap, cams, gt_local,
                     division_pos, bg, cfg, sh_degree, lambda_dssim,
                 )
@@ -465,6 +527,13 @@ class ShardedTrainer:
             (loss, aux), (grads, tap_grad) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True
             )(state.params, tap)
+
+            if replicated:
+                # dense gradient sync (ref sync_gradients_densely,
+                # gaussian_model.py:1350-1439): each device's backward only
+                # covers its own pixel rows
+                grads = jax.lax.psum(grads, AXIS)
+                tap_grad = jax.lax.psum(tap_grad, AXIS)
 
             if lr_scale_mode != "accumu":
                 grads = jax.tree.map(lambda g: g / bsz, grads)
@@ -516,11 +585,25 @@ class ShardedTrainer:
             splats = jax.vmap(proj)(
                 cams.viewmat, cams.full_proj, cams.campos, cams.tanfov
             )
-            recv_payload, recv_meta, _ = _route_pack_exchange(
-                splats.means2d, splats.conics, splats.colors,
-                splats.opacities, splats.radii, splats.depths,
-                division_pos, cfg,
-            )
+            if replicated:
+                b, n = splats.radii.shape
+                recv_payload = jnp.concatenate(
+                    [splats.means2d.reshape(-1, 2),
+                     splats.conics.reshape(-1, 3),
+                     splats.colors.reshape(-1, 3),
+                     splats.opacities.reshape(-1, 1)], axis=-1)
+                cam_of = (jnp.arange(b * n, dtype=jnp.int32) // n).astype(
+                    jnp.float32)
+                recv_meta = jnp.stack(
+                    [cam_of, splats.radii.reshape(-1).astype(jnp.float32),
+                     splats.depths.reshape(-1),
+                     jnp.ones((b * n,), jnp.float32)], axis=-1)
+            else:
+                recv_payload, recv_meta, _ = _route_pack_exchange(
+                    splats.means2d, splats.conics, splats.colors,
+                    splats.opacities, splats.radii, splats.depths,
+                    division_pos, cfg,
+                )
             d_idx = jax.lax.axis_index(AXIS)
             row_lo = division_pos[d_idx]
             row_hi = division_pos[d_idx + 1]
@@ -543,30 +626,35 @@ class ShardedTrainer:
             imgs = jax.lax.psum(imgs, AXIS)
             return imgs[:, :, : cfg.img_h, :]
 
+        ax = P() if replicated else P(AXIS)
         self._render = jax.jit(shard_map(
             render_shard,
             mesh=self.mesh,
             in_specs=(
-                GaussianParams(*(P(AXIS) for _ in GaussianParams._fields)),
-                P(AXIS), cam_spec, P(), P(),
+                GaussianParams(*(ax for _ in GaussianParams._fields)),
+                ax, cam_spec, P(), P(),
             ),
             out_specs=P(),
             check_vma=False,
         ))
 
         # ---- per-shard densification (local, no comm) ----
-        p_params = GaussianParams(*(P(AXIS) for _ in GaussianParams._fields))
+        p_params = GaussianParams(*(ax for _ in GaussianParams._fields))
         from ..models.optimizer import AdamState as _AS
         from ..models.densify import DensifyStats as _DS
 
         adam_spec = _AS(mu=p_params, nu=p_params, count=P())
-        stats_spec = _DS(grad_accum=P(AXIS), denom=P(AXIS), max_radii=P(AXIS))
+        stats_spec = _DS(grad_accum=ax, denom=ax, max_radii=ax)
         self._densify_cache = {}
 
         def build_densify(use_size_prune: bool):
             def densify_shard(params, alive, adam, stats, key, grad_threshold,
                               min_opacity, extent, percent_dense):
-                key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
+                if not replicated:
+                    # per-shard free-slot allocation needs independent
+                    # randomness; replicated mode must stay identical
+                    # across devices
+                    key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
                 p, a, ad, st, info = densify_and_prune(
                     params, alive, adam, stats, key,
                     grad_threshold, min_opacity, extent, percent_dense,
@@ -581,9 +669,9 @@ class ShardedTrainer:
             return jax.jit(shard_map(
                 densify_shard,
                 mesh=self.mesh,
-                in_specs=(p_params, P(AXIS), adam_spec, stats_spec,
+                in_specs=(p_params, ax, adam_spec, stats_spec,
                           P(), P(), P(), P(), P()),
-                out_specs=(p_params, P(AXIS), adam_spec, stats_spec, P(AXIS)),
+                out_specs=(p_params, ax, adam_spec, stats_spec, P(AXIS)),
                 check_vma=False,
             ))
 
