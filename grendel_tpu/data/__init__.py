@@ -4,6 +4,7 @@ from .readers import (  # noqa: F401
     PointCloud,
     read_colmap_scene,
     read_blender_scene,
+    read_city_scene,
     nerfpp_norm,
 )
 from .scene import Scene, SceneDataset  # noqa: F401

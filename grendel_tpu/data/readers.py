@@ -162,6 +162,62 @@ def _fetch_ply(path: str) -> PointCloud:
     return PointCloud(points=pts, colors=cols)
 
 
+def read_city_scene(
+    source_path: str,
+    extension: str = ".tif",
+) -> SceneInfo:
+    """MatrixCity reader (ref: readCityInfo, dataset_readers.py:456-507):
+    transforms_{train,test}.json with either a global camera_angle_x or
+    per-frame fl_x/fl_y pixel focals; point cloud from the first .ply in
+    the scene directory (tiepoints are required)."""
+    import glob as _glob
+
+    def read_split(transforms_file: str, uid0: int) -> List[CameraInfo]:
+        with open(os.path.join(source_path, transforms_file)) as f:
+            meta = json.load(f)
+        fovx_global = meta.get("camera_angle_x")
+        infos = []
+        for i, frame in enumerate(meta["frames"]):
+            name = frame["file_path"]
+            ext = "" if name.split(".")[-1].lower() in ("jpg", "jpeg", "png",
+                                                        "tif") else extension
+            image_path = (name if os.path.isabs(name)
+                          else os.path.join(source_path, name)) + ext
+            if not os.path.exists(image_path):
+                continue
+            c2w = np.array(frame["transform_matrix"])
+            c2w[:3, 1:3] *= -1
+            w2c = np.linalg.inv(c2w)
+            w, h = _image_size(image_path)
+            if fovx_global is not None:
+                fovx = fovx_global
+                fovy = focal_to_fov(fov_to_focal(fovx, w), h)
+            else:
+                fovy = focal_to_fov(frame["fl_y"], h)
+                fovx = focal_to_fov(frame["fl_x"], w)
+            infos.append(CameraInfo(
+                uid=uid0 + i, R=np.transpose(w2c[:3, :3]), T=w2c[:3, 3],
+                fovx=fovx, fovy=fovy, image_path=image_path,
+                image_name=os.path.basename(image_path).split(".")[0],
+                width=w, height=h,
+            ))
+        return infos
+
+    train = read_split("transforms_train.json", 0)
+    test = read_split("transforms_test.json", len(train)) if os.path.exists(
+        os.path.join(source_path, "transforms_test.json")) else []
+
+    plys = _glob.glob(os.path.join(source_path, "*.ply"))
+    if not plys:
+        raise FileNotFoundError(
+            f"MatrixCity scene needs a tiepoint .ply in {source_path}")
+    pcd = _fetch_ply(plys[0])
+    return SceneInfo(
+        point_cloud=pcd, train_cameras=train, test_cameras=test,
+        nerf_normalization=nerfpp_norm(train), ply_path=plys[0],
+    )
+
+
 def read_blender_scene(
     source_path: str,
     white_background: bool = False,

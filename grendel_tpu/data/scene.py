@@ -81,6 +81,11 @@ class Scene:
             info = read_colmap_scene(
                 source_path, images, eval_split, llffhold, num_train, num_test
             )
+        elif "matrixcity" in source_path.lower():
+            # reference dispatch rule: scene/__init__.py:57
+            from .readers import read_city_scene
+
+            info = read_city_scene(source_path)
         elif os.path.exists(os.path.join(source_path, "transforms_train.json")):
             info = read_blender_scene(
                 source_path, white_background, eval_split

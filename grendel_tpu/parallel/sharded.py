@@ -315,20 +315,31 @@ def _row_span_loss(
     m = mask.astype(jnp.float32)[:, None, :, :]            # (R,1,th,W)
     l1_part = jnp.sum(jnp.abs(rows - gt_rows) * m) / denom
 
-    # tall-image SSIM per camera: rows are in global order, so rows of the
-    # same camera are vertically contiguous — interior windows are exact;
-    # span borders see zeros (reference zero-padding behavior).
+    # Single-pass SSIM over a "gapped tall image": rows are in global order
+    # so each camera's rows are vertically contiguous; a zero gap of
+    # >= window//2 rows between cameras makes one depthwise conv give every
+    # camera exactly the zero-padded border behavior the reference's
+    # per-span conv2d has (loss_distribution.py:2553-2576) — without one
+    # conv pass per camera.
+    gap = 8                       # > 11 // 2
     r_slots = rows.shape[0]
-    tall = rows.transpose(1, 0, 2, 3).reshape(3, r_slots * cfg.tile_h, cfg.img_w)
-    tall_gt = gt_rows.transpose(1, 0, 2, 3).reshape(3, r_slots * cfg.tile_h, cfg.img_w)
-    tall_mask = m[:, 0].reshape(r_slots * cfg.tile_h, cfg.img_w)
-    cam_pix = jnp.repeat(cam_of_row, cfg.tile_h)           # (R*tile_h,)
+    th, w = cfg.tile_h, cfg.img_w
+    tall_h = r_slots * th + cfg.bsz * gap
+    slot = jnp.arange(r_slots, dtype=jnp.int32)
+    y0 = slot * th + cam_of_row * gap
+    y_idx = (y0[:, None] + jnp.arange(th, dtype=jnp.int32)[None, :]).reshape(-1)
 
-    ssim_part = jnp.float32(0.0)
-    for b in range(cfg.bsz):
-        mb = tall_mask * (cam_pix == b)[:, None]
-        smap = ssim_map(tall * mb[None], tall_gt * mb[None])
-        ssim_part = ssim_part + jnp.sum(smap * mb[None]) / denom
+    def to_tall(x_r3):            # (R, 3, th, W) -> (3, tall_h, W)
+        flat = x_r3.transpose(1, 0, 2, 3).reshape(3, r_slots * th, w)
+        return jnp.zeros((3, tall_h, w), jnp.float32).at[:, y_idx, :].set(flat)
+
+    rows_m = rows * m
+    gt_m = gt_rows * m
+    tall = to_tall(rows_m)
+    tall_gt = to_tall(gt_m)
+    tall_mask = to_tall(jnp.broadcast_to(m, rows.shape))[0]
+    smap = ssim_map(tall, tall_gt)
+    ssim_part = jnp.sum(smap * tall_mask[None]) / denom
 
     partial = (1.0 - lambda_dssim) * l1_part - lambda_dssim * ssim_part
     return partial, l1_part, ssim_part

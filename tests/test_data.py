@@ -178,3 +178,53 @@ def test_nerfpp_norm_radius():
     norm = nerfpp_norm(infos)
     np.testing.assert_allclose(norm["radius"], 1.1, rtol=1e-6)
     np.testing.assert_allclose(norm["translate"], 0.0, atol=1e-12)
+
+
+@pytest.fixture
+def city_scene_dir(tmp_path):
+    """Minimal MatrixCity-style directory (per-frame pixel focals)."""
+    from grendel_tpu.utils.ply import write_ply
+
+    d = tmp_path / "matrixcity_small"
+    d.mkdir()
+    (d / "imgs").mkdir()
+    rng = np.random.default_rng(4)
+    frames = []
+    for i in range(5):
+        c2w = np.eye(4)
+        c2w[:3, 3] = rng.normal(size=3) + [0, 0, 5]
+        frames.append({
+            "file_path": f"imgs/{i:04d}.png",
+            "fl_x": 50.0, "fl_y": 50.0,
+            "transform_matrix": c2w.tolist(),
+        })
+        _write_png(str(d / "imgs" / f"{i:04d}.png"), 24, 32, 90)
+    with open(d / "transforms_train.json", "w") as f:
+        json.dump({"frames": frames}, f)
+    with open(d / "transforms_test.json", "w") as f:
+        json.dump({"frames": frames[:2]}, f)
+    pts = rng.normal(size=(20, 3)).astype(np.float32)
+    write_ply(str(d / "tiepoints.ply"), {
+        "x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2],
+        "red": np.full(20, 100, np.uint8),
+        "green": np.full(20, 100, np.uint8),
+        "blue": np.full(20, 100, np.uint8),
+    })
+    return d
+
+
+def test_read_city_scene(city_scene_dir):
+    from grendel_tpu.data.readers import read_city_scene
+
+    info = read_city_scene(str(city_scene_dir))
+    assert len(info.train_cameras) == 5
+    assert len(info.test_cameras) == 2
+    assert info.point_cloud.points.shape == (20, 3)
+    cam = info.train_cameras[0]
+    # fl=50px over 32px width -> fovx = 2*atan(16/50)
+    np.testing.assert_allclose(cam.fovx, 2 * np.arctan(16 / 50.0), rtol=1e-6)
+    assert cam.width == 32 and cam.height == 24
+
+    scene = Scene(str(city_scene_dir))
+    assert len(scene.train_cameras) == 5
+    assert scene.train_cameras[0].gt_image_u8.shape == (3, 24, 32)
