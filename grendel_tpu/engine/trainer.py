@@ -62,6 +62,7 @@ class Trainer:
         self.densify_count = 0
         self._trainer_cache = {}
         self._redist_cache = {}
+        self._pending_costs = None
 
         h, w = scene.train_cameras[0].height, scene.train_cameras[0].width
         self.img_h, self.img_w = h, w
@@ -293,13 +294,23 @@ class Trainer:
                 self.state, batch_camera_arrays(batch), gt_rows,
                 jnp.asarray(pos_np), self.bg)
 
-            # fold measured per-row costs into the balancer (after warmup)
+            # fold the PREVIOUS step's measured per-row costs into the
+            # balancer: one step of lag means device_get never stalls the
+            # dispatch pipeline (the values are already on host-reachable
+            # memory by the time the next step is enqueued)
+            if self._pending_costs is not None:
+                p_batch, p_pos, p_metrics = self._pending_costs
+                self.history.update(
+                    p_batch, p_pos, np.asarray(p_metrics["per_row_entries"]))
             if (not cfg.dist.no_heuristics_update
                     and self.n_devices > 1 and it >= self.warmup_iters):
-                self.history.update(
-                    batch, pos_np, np.asarray(metrics["per_row_entries"]))
+                self._pending_costs = (batch, pos_np, metrics)
+            else:
+                self._pending_costs = None
 
-            it = int(jax.device_get(self.state.iteration))
+            # host-side iteration counter (a device_get here would force a
+            # full sync every step and serialize dispatch)
+            it += bsz
 
             if it % cfg.log_interval < bsz:
                 loss = float(jax.device_get(metrics["loss"]))
