@@ -133,6 +133,9 @@ class TrainConfig:
     seed: int = 0
     log_interval: int = 250
     enable_timer: bool = False
+    # debug / fault-injection (ref: DebugParams, arguments/__init__.py:189-201)
+    stop_update_param: bool = False      # freeze params (render-determinism aid)
+    drop_initial_3dgs_p: float = 0.0     # random init-point drop (scaling exps)
 
     def finalize(self) -> "TrainConfig":
         """Post-parse constraint propagation (ref: init_args,

@@ -63,6 +63,9 @@ class Trainer:
         self._trainer_cache = {}
         self._redist_cache = {}
         self._pending_costs = None
+        self._strategy_history = []
+        self._epoch_losses = []
+        self._last_epoch = 0
 
         h, w = scene.train_cameras[0].height, scene.train_cameras[0].width
         self.img_h, self.img_w = h, w
@@ -76,6 +79,11 @@ class Trainer:
             betas=o.adam_betas, eps=o.adam_eps,
             lr_scale_pos_and_scale=o.lr_scale_pos_and_scale,
         )
+        if cfg.stop_update_param:
+            # freeze all parameter updates (ref --stop_update_param debug
+            # flag: no optimizer.step). lr=0 on every group is equivalent.
+            self.lrs = self.lrs._replace(
+                sh_dc=0.0, sh_rest=0.0, scales=0.0, quats=0.0, opacity=0.0)
         self.xyz_sched = XyzLrSchedule(
             lr_init=o.position_lr_init * self.spatial_lr_scale
             * self.lr_scale * o.lr_scale_pos_and_scale,
@@ -84,6 +92,8 @@ class Trainer:
             lr_delay_mult=o.position_lr_delay_mult,
             max_steps=o.position_lr_max_steps,
         )
+        if cfg.stop_update_param:
+            self.xyz_sched = XyzLrSchedule(0.0, 0.0, 1.0, 1)
 
         self.bg = jnp.asarray(
             [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0])
@@ -95,6 +105,15 @@ class Trainer:
             self.n_local = self.state.alive.shape[0] // self.n_devices
         else:
             pcd = scene.point_cloud
+            if cfg.drop_initial_3dgs_p > 0.0:
+                # fault-injection hook for scaling experiments
+                # (ref: --drop_initial_3dgs_p, gaussian_model.py:202-217)
+                rng = np.random.default_rng(cfg.seed)
+                keep = rng.random(pcd.points.shape[0]) > cfg.drop_initial_3dgs_p
+                from ..data.readers import PointCloud
+
+                pcd = PointCloud(points=pcd.points[keep],
+                                 colors=pcd.colors[keep])
             n0 = pcd.points.shape[0]
             self.n_local = round_capacity(
                 max(int(n0 / self.n_devices * 1.5), 512))
@@ -167,6 +186,7 @@ class Trainer:
                 sh_degree=sh_degree, lambda_dssim=self.cfg.opt.lambda_dssim,
                 lrs=self.lrs, xyz_sched=self.xyz_sched,
                 lr_scale_mode=self.cfg.opt.lr_scale_mode,
+                lr_scale_loss=self.cfg.opt.lr_scale_loss,
             )
         return self._trainer_cache[key]
 
@@ -290,9 +310,22 @@ class Trainer:
                 self._pack_gt(batch, pos_np, pcfg),
                 trainer.sharding_for(P("d")))
 
+            bg = self.bg
+            if cfg.opt.random_background:
+                bg = jnp.asarray(
+                    np.random.default_rng(cfg.seed + it).random(3),
+                    jnp.float32)
+
             self.state, metrics = trainer.step(
                 self.state, batch_camera_arrays(batch), gt_rows,
-                jnp.asarray(pos_np), self.bg)
+                jnp.asarray(pos_np), bg)
+
+            if cfg.dist.save_strategy_history:
+                self._strategy_history.append({
+                    "iteration": it,
+                    "cameras": [c.uid for c in batch],
+                    "division_pos": pos_np.tolist(),
+                })
 
             # fold the PREVIOUS step's measured per-row costs into the
             # balancer: one step of lag means device_get never stalls the
@@ -311,6 +344,17 @@ class Trainer:
             # host-side iteration counter (a device_get here would force a
             # full sync every step and serialize dispatch)
             it += bsz
+
+            # per-epoch average loss (ref: SceneDataset epoch logging,
+            # scene/__init__.py:284-296); values fetched lazily at the
+            # epoch boundary so no extra syncs are introduced
+            self._epoch_losses.append(metrics["loss"])
+            if self.dataset.epoch != self._last_epoch:
+                vals = [float(jax.device_get(v)) for v in self._epoch_losses]
+                self._log(f"epoch {self._last_epoch} done at iter {it}: "
+                          f"avg loss {np.mean(vals):.5f} ({len(vals)} steps)")
+                self._epoch_losses = []
+                self._last_epoch = self.dataset.epoch
 
             if it % cfg.log_interval < bsz:
                 loss = float(jax.device_get(metrics["loss"]))
@@ -368,6 +412,13 @@ class Trainer:
         secs = time.time() - t_start
         self._log(f"training done: {it} iters in {secs / 60:.2f} min "
                   f"({it / max(secs, 1e-9):.2f} it/s)")
+        if cfg.dist.save_strategy_history and self._strategy_history:
+            path = os.path.join(
+                cfg.model.model_path,
+                f"strategy_history_ws={self.n_devices}.json")
+            with open(path, "w") as f:
+                json.dump(self._strategy_history, f)
+            self._log(f"saved strategy history to {path}")
         return self.state
 
     def _redistribute(self, it: int):

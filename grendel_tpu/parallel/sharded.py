@@ -484,6 +484,7 @@ class ShardedTrainer:
         lrs: LrConfig,
         xyz_sched: XyzLrSchedule,
         lr_scale_mode: str = "sqrt",
+        lr_scale_loss: float = 1.0,
     ):
         self.mesh = mesh
         self.cfg = cfg
@@ -492,6 +493,7 @@ class ShardedTrainer:
         self.lrs = lrs
         self.xyz_sched = xyz_sched
         self.lr_scale_mode = lr_scale_mode
+        self.lr_scale_loss = lr_scale_loss
         self._build()
 
     # -- sharding helpers --------------------------------------------------
@@ -515,6 +517,7 @@ class ShardedTrainer:
         lrs = self.lrs
         sched = self.xyz_sched
         lr_scale_mode = self.lr_scale_mode
+        lr_scale_loss = self.lr_scale_loss
         bsz = cfg.bsz
 
         cam_spec = CameraArrays(viewmat=P(), full_proj=P(), campos=P(), tanfov=P())
@@ -530,7 +533,9 @@ class ShardedTrainer:
                     params_loc, state.alive, tap, cams, gt_local,
                     division_pos, bg, cfg, sh_degree, lambda_dssim,
                 )
-                total = jax.lax.psum(partial, AXIS) + lambda_dssim * bsz
+                # ref: loss_sum * args.lr_scale_loss (loss_distribution.py:2634)
+                total = (jax.lax.psum(partial, AXIS)
+                         + lambda_dssim * bsz) * lr_scale_loss
                 return total, aux
 
             n_loc = state.alive.shape[0]

@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min_opacity", type=float, default=0.005)
     p.add_argument("--lr_scale_mode", type=str, default="sqrt",
                    choices=["linear", "sqrt", "accumu"])
+    p.add_argument("--lr_scale_loss", type=float, default=1.0)
+    p.add_argument("--random_background", action="store_true")
     # DistributionParams
     p.add_argument("--bsz", type=int, default=1)
     p.add_argument("--gaussians_distribution", type=int, default=1)
@@ -60,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--redistribute_gaussians_frequency", type=int, default=10)
     p.add_argument("--num_train_cameras", type=int, default=-1)
     p.add_argument("--num_test_cameras", type=int, default=-1)
+    p.add_argument("--save_strategy_history", action="store_true")
+    # DebugParams
+    p.add_argument("--stop_update_param", action="store_true")
+    p.add_argument("--drop_initial_3dgs_p", type=float, default=0.0)
     # schedule / misc
     p.add_argument("--test_iterations", nargs="+", type=int,
                    default=[7_000, 30_000])
@@ -103,8 +109,11 @@ def args_to_config(a):
               "opacity_reset_interval", "opacity_reset_until_iter",
               "densify_from_iter", "densify_until_iter",
               "densify_grad_threshold", "disable_auto_densification",
-              "min_opacity", "lr_scale_mode"):
+              "min_opacity", "lr_scale_mode", "lr_scale_loss",
+              "random_background"):
         setattr(o, f, getattr(a, f))
+    cfg.stop_update_param = a.stop_update_param
+    cfg.drop_initial_3dgs_p = a.drop_initial_3dgs_p
     d = cfg.dist
     d.bsz = a.bsz
     d.gaussians_distribution = bool(a.gaussians_distribution)
@@ -113,6 +122,7 @@ def args_to_config(a):
     d.no_heuristics_update = a.no_heuristics_update
     d.redistribute_gaussians_mode = a.redistribute_gaussians_mode
     d.redistribute_gaussians_frequency = a.redistribute_gaussians_frequency
+    d.save_strategy_history = a.save_strategy_history
     d.num_train_cameras = a.num_train_cameras
     d.num_test_cameras = a.num_test_cameras
     cfg.test_iterations = list(a.test_iterations)
