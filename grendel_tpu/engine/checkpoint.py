@@ -76,12 +76,18 @@ def load_checkpoint(
     rank: int = 0,
     world_size: int = 1,
     capacity: Optional[int] = None,
+    duplicate_coeff: float = 1.0,
 ) -> TrainState:
-    """Load (and possibly re-shard) a checkpoint directory into a TrainState."""
+    """Load (and possibly re-shard) a checkpoint directory into a TrainState.
+
+    ``duplicate_coeff`` > 1 replicates the packed Gaussians (with a tiny
+    position jitter on the copies) to synthesize larger models for scaling
+    experiments (ref: --drop_duplicate_gaussians_coeff,
+    utils/general_utils.py:609-644)."""
     import jax.numpy as jnp
 
     saved_ws, paths = _find_shards(directory)
-    same_ws = saved_ws == world_size
+    same_ws = saved_ws == world_size and duplicate_coeff == 1.0
 
     if same_ws:
         datas = [np.load(paths[rank])]
@@ -89,7 +95,17 @@ def load_checkpoint(
         datas = [np.load(p) for p in paths]
 
     def packed(prefix: str, f: str) -> np.ndarray:
-        return np.concatenate([d[f"{prefix}_{f}"] for d in datas], axis=0)
+        out = np.concatenate([d[f"{prefix}_{f}"] for d in datas], axis=0)
+        if duplicate_coeff > 1.0:
+            n = out.shape[0]
+            total = int(n * duplicate_coeff)
+            reps = -(-total // n)
+            out = np.concatenate([out] * reps, axis=0)[:total]
+            if prefix == "param" and f == "means3d":
+                rng = np.random.default_rng(0)
+                out[n:] += rng.normal(scale=1e-4,
+                                      size=out[n:].shape).astype(out.dtype)
+        return out
 
     total = packed("param", "means3d").shape[0]
     if same_ws:

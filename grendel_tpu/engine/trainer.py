@@ -367,6 +367,7 @@ class Trainer:
             # ---- densification schedule (ref densification.py:5-85) ----
             if (not o.disable_auto_densification and it <= o.densify_until_iter
                     and it > o.densify_from_iter
+                    and not self._memory_guard_tripped()
                     and check_update_at_this_iter(
                         it, bsz, o.densification_interval, 0)):
                 use_size_prune = it > o.opacity_reset_interval
@@ -420,6 +421,22 @@ class Trainer:
                 json.dump(self._strategy_history, f)
             self._log(f"saved strategy history to {path}")
         return self.state
+
+    def _memory_guard_tripped(self) -> bool:
+        """Stop densification when device HBM is nearly full (ref:
+        --densify_memory_limit_percentage + check_memory_usage_and_adjust,
+        utils/general_utils.py:327-345)."""
+        from ..utils.timer import device_memory_stats
+
+        stats = device_memory_stats()
+        if not stats or not stats.get("bytes_limit"):
+            return False
+        frac = stats["bytes_in_use"] / stats["bytes_limit"]
+        if frac > self.cfg.opt.densify_memory_limit_percentage:
+            self._log(f"densification stopped: HBM at {frac:.0%} "
+                      f"(limit {self.cfg.opt.densify_memory_limit_percentage:.0%})")
+            return True
+        return False
 
     def _redistribute(self, it: int):
         key = (self.n_local,)

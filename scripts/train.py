@@ -147,6 +147,10 @@ def main():
     import jax
     if a.platform:
         jax.config.update("jax_platforms", a.platform)
+    if os.environ.get("GRENDEL_MULTIHOST"):
+        # multi-host launch (one process per host on a pod slice):
+        # coordinator/process env vars per standard JAX distributed setup
+        jax.distributed.initialize()
     from grendel_tpu.engine.trainer import Trainer
     from grendel_tpu.engine.checkpoint import find_latest_checkpoint
 
