@@ -309,9 +309,13 @@ def _bwd_kernel(
     def _():
         out_copy(c_stop - 1).wait()
 
-    # zero-fill the chunks the early exit skipped (their entries were never
-    # included, so their gradients are exactly zero)
-    @pl.when(c_stop < n_chunks)
+    # zero-fill every chunk of this tile's span the walk did not write:
+    # early-exit-skipped chunks AND chunks beyond the max_per_tile cap
+    # (entries there were never included, so their gradients are exactly
+    # zero). Writing them here lets the caller skip the whole
+    # unvisited-region masking pass.
+    n_chunks_full = n_chunks_ref[t]
+    @pl.when(c_stop < n_chunks_full)
     def _():
         dchunk_vmem[0] = jnp.zeros((PAYLOAD_W, CHUNK), jnp.float32)
         dchunk_vmem[1] = jnp.zeros((PAYLOAD_W, CHUNK), jnp.float32)
@@ -324,7 +328,7 @@ def _bwd_kernel(
             cp.wait()
             return 0
 
-        jax.lax.fori_loop(c_stop, n_chunks, fill, 0)
+        jax.lax.fori_loop(c_stop, n_chunks_full, fill, 0)
 
 
 # --------------------------------------------------------------------------
@@ -346,12 +350,14 @@ def _align_entries(gauss_ids: Array, tile_offsets: Array, sentinel: int):
     chunk_lo = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(n_chunks)]).astype(jnp.int32)
     total_chunks = cap // CHUNK + t_slots                   # static bound
-    # per-CHUNK bookkeeping (total_chunks ~ E/128 queries: cheap), expanded
-    # to per-entry by broadcasting over the lane axis
+    # per-CHUNK bookkeeping, expanded to per-entry by broadcasting over the
+    # lane axis. tile_of via boundary counting (scatter + cumsum) — an
+    # in-context searchsorted here gets scalarized by XLA (S(1) placement,
+    # ~27ms at this size; see DESIGN.md §7 profiling notes)
     qc = jnp.arange(total_chunks, dtype=jnp.int32)
-    tile_of = jnp.clip(
-        jnp.searchsorted(chunk_lo, qc, side="right") - 1, 0, t_slots - 1
-    ).astype(jnp.int32)
+    hist = jnp.zeros((total_chunks,), jnp.int32).at[
+        chunk_lo[1:t_slots]].add(1, mode="drop")
+    tile_of = jnp.cumsum(hist)
     lane = jnp.arange(CHUNK, dtype=jnp.int32)
     i = (qc - chunk_lo[tile_of])[:, None] * CHUNK + lane[None, :]  # (TC, K)
     valid = (qc < chunk_lo[t_slots])[:, None] & (i < n[tile_of][:, None])
@@ -486,16 +492,10 @@ def _core_bwd(tile_w, tile_h, max_per_tile, interpret, num_gaussians,
         interpret=interpret,
     )(chunk_lo, n_chunks, px0, py0, payload, aux)[0]
 
-    # zero chunks the kernel never visited (beyond a tile's max_chunks cap,
-    # or the unused static slack beyond the last tile's span)
-    total_chunks = payload.shape[0]
-    chunk_hi = chunk_lo + jnp.minimum(n_chunks, -(-max_per_tile // CHUNK))
-    qc = jnp.arange(total_chunks, dtype=jnp.int32)
-    tile_of = jnp.clip(
-        jnp.searchsorted(chunk_lo, qc, side="right", method="sort") - 1,
-        0, t_slots - 1)
-    within = (qc >= chunk_lo[tile_of]) & (qc < chunk_hi[tile_of])
-    d_payload = jnp.where(within[:, None, None], d_payload, 0.0)
+    # The kernel zero-fills every unwalked chunk inside each tile's span, so
+    # the only region with undefined values is the static slack beyond the
+    # last tile's span — whose entries carry the sentinel segment id and are
+    # dropped by segment_sum. No masking pass needed.
     d_entries = d_payload.transpose(0, 2, 1).reshape(-1, PAYLOAD_W)
 
     d_all = jax.ops.segment_sum(d_entries, segment_ids=ids2,
