@@ -176,6 +176,7 @@ class Trainer:
             max_per_tile=p.max_per_tile, chunk=p.chunk,
             backend=backend,
             gaussians_distribution=gauss_dist,
+            send_cap_factor=getattr(self, "_a2a_factor", 1.0),
         ).resolved(n_loc)
 
     def _trainer(self, sh_degree: int) -> ShardedTrainer:
@@ -335,11 +336,14 @@ class Trainer:
                 p_batch, p_pos, p_metrics = self._pending_costs
                 self.history.update(
                     p_batch, p_pos, np.asarray(p_metrics["per_row_entries"]))
+                self._check_capacity_telemetry(p_metrics, pcfg)
             if (not cfg.dist.no_heuristics_update
                     and self.n_devices > 1 and it >= self.warmup_iters):
                 self._pending_costs = (batch, pos_np, metrics)
             else:
                 self._pending_costs = None
+                if it % (cfg.log_interval) < bsz:
+                    self._check_capacity_telemetry(metrics, pcfg)
 
             # host-side iteration counter (a device_get here would force a
             # full sync every step and serialize dispatch)
@@ -421,6 +425,27 @@ class Trainer:
                 json.dump(self._strategy_history, f)
             self._log(f"saved strategy history to {path}")
         return self.state
+
+    def _check_capacity_telemetry(self, metrics, pcfg: ParallelConfig):
+        """Auto-tune static capacities from overflow telemetry: the jitted
+        step reports true intersection counts and a2a bucket overflow; when
+        they approach/exceed the static budgets, raise the factors so the
+        next trainer (re)build compiles with more headroom."""
+        num_isects = int(np.asarray(metrics["num_isects"]).max())
+        if num_isects > 0.92 * pcfg.isect_capacity:
+            self.cfg.pipeline.isect_capacity_factor *= 2.0
+            self._trainer_cache.clear()
+            self._log(
+                f"isect near capacity ({num_isects}/{pcfg.isect_capacity}):"
+                f" doubling isect_capacity_factor -> "
+                f"{self.cfg.pipeline.isect_capacity_factor} (recompile)")
+        overflow = int(np.asarray(metrics["a2a_overflow"]).sum())
+        if overflow > 0:
+            self._a2a_factor = getattr(self, "_a2a_factor", 1.0) * 1.5
+            self._trainer_cache.clear()
+            self._log(
+                f"a2a bucket overflow ({overflow} entries): raising "
+                f"send_cap_factor -> {self._a2a_factor:.2f} (recompile)")
 
     def _memory_guard_tripped(self) -> bool:
         """Stop densification when device HBM is nearly full (ref:
