@@ -425,7 +425,7 @@ def _fwd_impl(gathered, ids2, chunk_lo, n_chunks, slot_px0, slot_py0,
     t_fin = t_fin[:, :, 0]
     colors_pix = colors4[:, :, :3]               # (T, P, 3)
     out = (colors_pix, t_fin)
-    return out, (colors_pix, t_fin)
+    return out, (payload, colors_pix, t_fin)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
@@ -440,19 +440,19 @@ def _rasterize_core(
 
 def _core_fwd(gathered, ids2, chunk_lo, n_chunks, slot_px0, slot_py0,
               tile_w, tile_h, max_per_tile, interpret, num_gaussians):
-    out, (colors_pix, t_fin) = _fwd_impl(
+    out, (payload, colors_pix, t_fin) = _fwd_impl(
         gathered, ids2, chunk_lo, n_chunks, slot_px0, slot_py0,
         tile_w, tile_h, max_per_tile, interpret)
-    return out, (gathered, colors_pix, t_fin, ids2, chunk_lo, n_chunks,
+    # store the payload itself: rebuilding it in the backward re-runs the
+    # 2.6M-row gathers, which XLA scalarizes in the transpose context
+    # (~140ms/step measured; residual memory is the cheaper trade)
+    return out, (payload, colors_pix, t_fin, ids2, chunk_lo, n_chunks,
                  slot_px0, slot_py0)
 
 
 def _core_bwd(tile_w, tile_h, max_per_tile, interpret, num_gaussians,
               res, cotangents):
-    gathered, colors_pix, t_fin, ids2, chunk_lo, n_chunks, px0, py0 = res
-    payload = _build_payload(
-        gathered["means2d"], gathered["conics"], gathered["colors"],
-        gathered["opacities"], ids2)
+    payload, colors_pix, t_fin, ids2, chunk_lo, n_chunks, px0, py0 = res
     g_colors, g_t = cotangents              # (T, P, 3), (T, P)
     t_slots = px0.shape[0]
     p = tile_w * tile_h
