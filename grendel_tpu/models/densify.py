@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from .gaussian_model import GaussianParams
 from .optimizer import AdamState
-from ..utils.math3d import quat_to_rotmat, inverse_sigmoid
+from ..utils.math3d import quat_rotmat_entries, inverse_sigmoid
 
 Array = jnp.ndarray
 
@@ -135,9 +135,21 @@ def densify_and_prune(
     )
 
     # Split children: position sampled from the parent Gaussian, scale / 1.6.
+    # Component-form rotation (an (n,3,3) rotmat array tiles to (4,128) on
+    # TPU — a 56.9x padding blow-up at multi-million capacities).
     samples = jax.random.normal(key, (n, SPLIT_N, 3)) * scales[:, None, :]
-    rot = quat_to_rotmat(params.quats)                    # (n, 3, 3)
-    offsets = jnp.einsum("nij,nkj->nki", rot, samples)    # (n, SPLIT_N, 3)
+    r = quat_rotmat_entries(params.quats)                 # 9 x (n,)
+    offsets = jnp.stack(
+        [
+            r[0][:, None] * samples[..., 0] + r[1][:, None] * samples[..., 1]
+            + r[2][:, None] * samples[..., 2],
+            r[3][:, None] * samples[..., 0] + r[4][:, None] * samples[..., 1]
+            + r[5][:, None] * samples[..., 2],
+            r[6][:, None] * samples[..., 0] + r[7][:, None] * samples[..., 1]
+            + r[8][:, None] * samples[..., 2],
+        ],
+        axis=-1,
+    )                                                     # (n, SPLIT_N, 3)
     child_xyz = params.means3d[:, None, :] + offsets      # (n, SPLIT_N, 3)
     child_scales_raw = params.scales_raw - jnp.log(SPLIT_SCALE_DIV)
 

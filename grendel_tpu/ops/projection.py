@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .sh import sh_to_rgb
-from ..utils.math3d import quat_to_rotmat
+from ..utils.math3d import quat_to_rotmat, quat_rotmat_entries
 
 Array = jnp.ndarray
 
@@ -43,10 +43,40 @@ class ProjectedSplats(NamedTuple):
 
 
 def build_cov3d(scales: Array, quats: Array) -> Array:
-    """(N,3) activated scales + (N,4) quats -> (N,3,3) covariance R S S^T R^T."""
+    """(N,3) activated scales + (N,4) quats -> (N,3,3) covariance R S S^T R^T.
+
+    Only for small batches / tests — (N,3,3) arrays pad 56.9x on TPU; the
+    projection hot path uses the component form below.
+    """
     R = quat_to_rotmat(quats)                      # (N,3,3)
     M = R * scales[..., None, :]                   # R @ diag(s)
     return M @ jnp.swapaxes(M, -1, -2)
+
+
+def _view_cov2d_terms(scales: Array, quats: Array, viewmat: Array):
+    """The six unique entries of V = W (R S S^T R^T) W^T as (N,) arrays.
+
+    With u_j = W @ (j-th column of R): V = sum_j s_j^2 u_j u_j^T. All
+    intermediates are (N,) component arrays — no (N,3,3) materialization
+    (which would tile to (4,128) and blow memory 56.9x at scale).
+    """
+    r = quat_rotmat_entries(quats)                 # 9 x (N,)
+    w_mat = viewmat[:3, :3]
+    s2 = scales * scales                           # (N, 3)
+    v00 = v01 = v02 = v11 = v12 = v22 = 0.0
+    for j in range(3):
+        rj = (r[0 + j], r[3 + j], r[6 + j])        # column j of R
+        u0 = w_mat[0, 0] * rj[0] + w_mat[0, 1] * rj[1] + w_mat[0, 2] * rj[2]
+        u1 = w_mat[1, 0] * rj[0] + w_mat[1, 1] * rj[1] + w_mat[1, 2] * rj[2]
+        u2 = w_mat[2, 0] * rj[0] + w_mat[2, 1] * rj[1] + w_mat[2, 2] * rj[2]
+        sj = s2[:, j]
+        v00 = v00 + sj * u0 * u0
+        v01 = v01 + sj * u0 * u1
+        v02 = v02 + sj * u0 * u2
+        v11 = v11 + sj * u1 * u1
+        v12 = v12 + sj * u1 * u2
+        v22 = v22 + sj * u2 * u2
+    return v00, v01, v02, v11, v12, v22
 
 
 def project_gaussians(
@@ -113,13 +143,10 @@ def project_gaussians(
     j11 = focal_y * inv_z
     j12 = -focal_y * ty * inv_z2
 
-    W = viewmat[:3, :3]                                        # (3,3)
-    cov3d = build_cov3d(scales * scale_modifier, quats)        # (N,3,3)
-    V = jnp.einsum("ij,njk,lk->nil", W, cov3d, W)              # (N,3,3)
+    v00, v01, v02, v11, v12, v22 = _view_cov2d_terms(
+        scales * scale_modifier, quats, viewmat)
 
     # T = J V J^T restricted to 2x2; expand with the sparse J structure.
-    v00, v01, v02 = V[:, 0, 0], V[:, 0, 1], V[:, 0, 2]
-    v11, v12, v22 = V[:, 1, 1], V[:, 1, 2], V[:, 2, 2]
     c00 = j00 * (j00 * v00 + j02 * v02) + j02 * (j00 * v02 + j02 * v22)
     c01 = j00 * (j11 * v01 + j12 * v02) + j02 * (j11 * v12 + j12 * v22)
     c11 = j11 * (j11 * v11 + j12 * v12) + j12 * (j11 * v12 + j12 * v22)
