@@ -15,7 +15,7 @@ handles the densification schedule, SH ramp, eval, and capacity growth.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

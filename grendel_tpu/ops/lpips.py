@@ -18,7 +18,7 @@ Architecture (matching lpips 'vgg' variant):
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

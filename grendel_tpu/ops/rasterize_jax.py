@@ -26,8 +26,7 @@ that zeroes non-owned tiles.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,6 @@ headroom this is virtually never hit.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map
@@ -30,10 +28,6 @@ from ..models.gaussian_model import GaussianParams
 from ..models.optimizer import AdamState
 
 AXIS = "d"
-
-# float payload layout: params(59) + mu(59) + nu(59)
-_LEAF_SIZES = {"means3d": 3, "sh_dc": 3, "sh_rest": None, "scales_raw": 3,
-               "quats": 4, "opacities_raw": 1}
 
 
 def _flatten_tree(params: GaussianParams) -> jnp.ndarray:
