@@ -90,14 +90,20 @@ class SyntheticScene:
 
         cfg = RenderConfig(img_h=height, img_w=width,
                            isect_capacity=1 << 15, max_per_tile=512, chunk=64)
+        from .cameras import CameraArrays
+
+        render = jax.jit(lambda vm, fp, cp, tf: render_image(
+            params, alive,
+            CameraArrays(viewmat=vm, full_proj=fp, campos=cp, tanfov=tf),
+            sh_degree, cfg, bg=jnp.zeros(3))[0])
         cams = []
         total = n_cams + n_test
         for i in range(total):
             cam = make_test_camera(width, height,
                                    angle=2 * np.pi * i / total)
             cam.uid = i
-            img, _ = render_image(params, alive, camera_arrays(cam),
-                                  sh_degree, cfg, bg=jnp.zeros(3))
+            ca = camera_arrays(cam)
+            img = render(ca.viewmat, ca.full_proj, ca.campos, ca.tanfov)
             cam.gt_image_u8 = np.asarray(
                 (jnp.clip(img, 0, 1) * 255).astype(jnp.uint8))
             cams.append(cam)
