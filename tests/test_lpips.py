@@ -1,0 +1,93 @@
+"""LPIPS architecture parity vs a torch implementation, with random weights.
+
+Pretrained weights are unavailable offline, so this validates the NETWORK
+(VGG16 feature taps, scaling layer, unit-normalization, linear heads) by
+running both implementations with the same random weights — if the
+architectures match on random weights they match on pretrained ones.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from grendel_tpu.ops import lpips as jl
+
+
+def _random_weights(seed=0):
+    rng = np.random.default_rng(seed)
+    weights = {}
+    in_ch = 3
+    for i, (out_ch, _) in enumerate(jl._VGG16_PLAN):
+        weights[f"conv{i}_w"] = rng.normal(
+            scale=0.05, size=(out_ch, in_ch, 3, 3)).astype(np.float32)
+        weights[f"conv{i}_b"] = rng.normal(
+            scale=0.01, size=(out_ch,)).astype(np.float32)
+        in_ch = out_ch
+    tap_channels = [64, 128, 256, 512, 512]
+    for j, c in enumerate(tap_channels):
+        weights[f"lin{j}_w"] = rng.uniform(size=(c,)).astype(np.float32)
+    return weights
+
+
+def _torch_lpips(img1, img2, weights):
+    def prep(im):
+        im = im * 2 - 1
+        shift = torch.tensor(jl._SHIFT)[:, None, None]
+        scale = torch.tensor(jl._SCALE)[:, None, None]
+        return ((im - shift) / scale)[None]
+
+    def features(x):
+        feats = []
+        h = x
+        for i, (_, pool) in enumerate(jl._VGG16_PLAN):
+            if pool:
+                h = F.max_pool2d(h, 2)
+            h = F.relu(F.conv2d(h, torch.tensor(weights[f"conv{i}_w"]),
+                                torch.tensor(weights[f"conv{i}_b"]),
+                                padding=1))
+            if i in jl._TAPS:
+                feats.append(h)
+        return feats
+
+    f1 = features(prep(img1))
+    f2 = features(prep(img2))
+    total = 0.0
+    for j, (a, b) in enumerate(zip(f1, f2)):
+        a = a / (a.norm(dim=1, keepdim=True) + 1e-10)
+        b = b / (b.norm(dim=1, keepdim=True) + 1e-10)
+        lin = torch.tensor(weights[f"lin{j}_w"])[None, :, None, None]
+        total = total + ((a - b) ** 2 * lin).sum(dim=1).mean()
+    return float(total)
+
+
+def test_lpips_matches_torch_architecture():
+    rng = np.random.default_rng(1)
+    a = rng.uniform(size=(3, 64, 64)).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.1, size=a.shape), 0, 1).astype(np.float32)
+    weights = _random_weights()
+    ours = float(jl.lpips(jnp.asarray(a), jnp.asarray(b), weights))
+    ref = _torch_lpips(torch.tensor(a), torch.tensor(b), weights)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3)
+    # identical images -> zero distance
+    assert float(jl.lpips(jnp.asarray(a), jnp.asarray(a), weights)) < 1e-9
+
+
+def test_converter_key_mapping():
+    from scripts.convert_lpips_weights import convert, _VGG16_CONV_IDS
+
+    rng = np.random.default_rng(2)
+    vgg_state = {}
+    in_ch = 3
+    for layer, (out_ch, _) in zip(_VGG16_CONV_IDS, jl._VGG16_PLAN):
+        vgg_state[f"features.{layer}.weight"] = rng.normal(
+            size=(out_ch, in_ch, 3, 3)).astype(np.float32)
+        vgg_state[f"features.{layer}.bias"] = np.zeros(out_ch, np.float32)
+        in_ch = out_ch
+    lins = {f"lin{j}.model.1.weight":
+            rng.uniform(size=(1, c, 1, 1)).astype(np.float32)
+            for j, c in enumerate([64, 128, 256, 512, 512])}
+    out = convert(vgg_state, lins)
+    assert out["conv0_w"].shape == (64, 3, 3, 3)
+    assert out["conv12_w"].shape == (512, 512, 3, 3)
+    assert out["lin4_w"].shape == (512,)
