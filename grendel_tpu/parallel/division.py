@@ -129,6 +129,8 @@ def pack_gt_rows(
     for d in range(n_devices):
         lo, hi = int(division_pos[d]), int(division_pos[d + 1])
         for slot, row in enumerate(range(lo, hi)):
+            if slot >= max_rows:
+                break
             b, ty = divmod(row, tiles_y)
             img = gt_override[b] if gt_override is not None else cams[b].gt_image_u8
             if img is None:

@@ -3,7 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
 
 from grendel_tpu.cameras import batch_camera_arrays, camera_arrays
 from grendel_tpu.engine.render import RenderConfig, render_image
@@ -220,3 +220,46 @@ def test_distributed_densify_and_opacity_reset(mesh8, small_scene):
     opac = jax.nn.sigmoid(np.asarray(state3.params.opacities_raw))
     alive_np = np.asarray(state3.alive)
     assert np.all(opac[alive_np] <= 0.011)
+
+
+def test_distributed_ssim_exact_on_camera_aligned_division(mesh8, small_scene):
+    """With division boundaries on camera edges, span borders coincide with
+    image borders, so the distributed (gapped tall-image) SSIM must equal
+    the full-image SSIM exactly."""
+    h, w, capacity, cams_host, params, alive = small_scene
+    bsz = 2
+    # row buffer large enough for one whole camera per device
+    pcfg = ParallelConfig(
+        n_devices=8, bsz=bsz, img_h=h, img_w=w,
+        isect_capacity=4096, max_per_tile=256, chunk=32,
+        n_row_slots=-(-h // 16),
+    ).resolved(capacity // 8)
+    lrs, s = scaled_lrs(0.0025, 0.05, 0.005, 0.001, bsz=bsz)
+    sched = XyzLrSchedule(1.6e-3 * s, 1.6e-5 * s, 0.01, 1000)
+    cfg, trainer = pcfg, ShardedTrainer(
+        mesh8, pcfg, sh_degree=1, lambda_dssim=0.2, lrs=lrs, xyz_sched=sched)
+    cams = batch_camera_arrays(cams_host)
+    bg = jnp.zeros(3)
+    rng = np.random.default_rng(7)
+    gt_u8 = [rng.integers(0, 255, (3, h, w), np.uint8) for _ in cams_host]
+    for c, g in zip(cams_host, gt_u8):
+        c.gt_image_u8 = g
+
+    tiles_y = cfg.tiles_y
+    # device 0 -> camera 0, device 1 -> camera 1, rest empty
+    pos_np = np.array([0, tiles_y, 2 * tiles_y] + [2 * tiles_y] * 6, np.int32)
+    gt_rows = jax.device_put(
+        pack_gt_rows(cams_host, pos_np, 8, cfg.n_row_slots, cfg.tile_h, h, w),
+        trainer.sharding_for(P("d")))
+    state = trainer.shard_state(train_state_init(params, alive))
+    _, metrics = trainer.step(state, cams, gt_rows, jnp.asarray(pos_np), bg)
+
+    from grendel_tpu.engine.loss import batch_loss
+    imgs = trainer.render(state.params, state.alive, cams,
+                          jnp.asarray(pos_np), bg)
+    gt_f = jnp.asarray(np.stack(gt_u8)).astype(jnp.float32) / 255.0
+    _, percam = batch_loss(imgs, gt_f, 0.2)
+    np.testing.assert_allclose(
+        float(metrics["ssim"]), float(jnp.sum(percam[:, 1])), rtol=2e-4)
+    np.testing.assert_allclose(
+        float(metrics["l1"]), float(jnp.sum(percam[:, 0])), rtol=2e-4)
