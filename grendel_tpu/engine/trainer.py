@@ -66,6 +66,9 @@ class Trainer:
         self._strategy_history = []
         self._epoch_losses = []
         self._last_epoch = 0
+        # isect entry lists beyond this stop auto-growing (each entry costs
+        # ~70B across payload/grad buffers; 2^23 entries ~ 0.6GB)
+        self.isect_capacity_ceiling = 1 << 23
 
         h, w = scene.train_cameras[0].height, scene.train_cameras[0].width
         self.img_h, self.img_w = h, w
@@ -432,13 +435,21 @@ class Trainer:
         they approach/exceed the static budgets, raise the factors so the
         next trainer (re)build compiles with more headroom."""
         num_isects = int(np.asarray(metrics["num_isects"]).max())
-        if num_isects > 0.92 * pcfg.isect_capacity:
+        if (num_isects > 0.92 * pcfg.isect_capacity
+                and pcfg.isect_capacity < self.isect_capacity_ceiling):
             self.cfg.pipeline.isect_capacity_factor *= 2.0
             self._trainer_cache.clear()
             self._log(
                 f"isect near capacity ({num_isects}/{pcfg.isect_capacity}):"
                 f" doubling isect_capacity_factor -> "
                 f"{self.cfg.pipeline.isect_capacity_factor} (recompile)")
+        elif num_isects > pcfg.isect_capacity:
+            # ceiling reached: excess (farthest) entries are dropped by the
+            # isect stage — visually negligible during the early-training
+            # giant-splat transient, and better than an HBM OOM
+            self._log(
+                f"isect over capacity ({num_isects}/{pcfg.isect_capacity}) "
+                f"at the HBM ceiling; dropping farthest entries")
         overflow = int(np.asarray(metrics["a2a_overflow"]).sum())
         if overflow > 0:
             self._a2a_factor = getattr(self, "_a2a_factor", 1.0) * 1.5
