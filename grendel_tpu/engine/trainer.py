@@ -66,9 +66,10 @@ class Trainer:
         self._strategy_history = []
         self._epoch_losses = []
         self._last_epoch = 0
-        # isect entry lists beyond this stop auto-growing (each entry costs
-        # ~70B across payload/grad buffers; 2^23 entries ~ 0.6GB)
-        self.isect_capacity_ceiling = 1 << 23
+        # isect entry lists beyond this stop auto-growing: 2^23 entries was
+        # measured to OOM a 16GB chip at bsz=4 (payload+grad+align buffers
+        # plus the model), 2^22 runs
+        self.isect_capacity_ceiling = 1 << 22
 
         h, w = scene.train_cameras[0].height, scene.train_cameras[0].width
         self.img_h, self.img_w = h, w
