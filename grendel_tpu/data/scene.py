@@ -103,11 +103,17 @@ class Scene:
             random.Random(seed).shuffle(train_infos)
 
         def build(infos: Sequence[CameraInfo]) -> List[Camera]:
-            out = []
-            for i, ci in enumerate(infos):
-                dec = decode_mask(i, ci) if decode_mask is not None else True
-                out.append(camera_from_info(i, ci, decode=dec))
-            return out
+            # parallel image decode (ref: the multiprocess decoding pool,
+            # utils/camera_utils.py:92-115; PIL releases the GIL during
+            # JPEG/PNG decompression so threads suffice here)
+            from concurrent.futures import ThreadPoolExecutor
+
+            decs = [decode_mask(i, ci) if decode_mask is not None else True
+                    for i, ci in enumerate(infos)]
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                return list(pool.map(
+                    lambda t: camera_from_info(t[0], t[1], decode=t[2]),
+                    zip(range(len(infos)), infos, decs)))
 
         self.train_cameras: List[Camera] = build(train_infos)
         self.test_cameras: List[Camera] = build(info.test_cameras)
