@@ -3,7 +3,7 @@
 Mirrors the reference's argparse ParamGroups (behavioral parity target:
 /root/reference/arguments/__init__.py:85-201 — ModelParams, PipelineParams,
 OptimizationParams, DistributionParams, BenchmarkParams, DebugParams) as
-plain dataclasses. CLI wiring lives in grendel_tpu/cli/; the dataclasses are
+plain dataclasses. CLI wiring lives in scripts/train.py; the dataclasses are
 the single source of truth for defaults.
 
 TPU-specific additions are grouped at the bottom of each class and marked
@@ -26,7 +26,7 @@ class ModelConfig:
     source_path: str = ""
     model_path: str = ""
     images: str = "images"
-    resolution: int = -1
+    resolution: float = -1
     white_background: bool = False
     eval: bool = False
     llffhold: int = 8
@@ -152,6 +152,14 @@ class TrainConfig:
         if self.dist.preload_dataset_to_gpu:
             self.dist.distributed_dataset_storage = False
             self.dist.local_sampling = False
+        if self.dist.local_sampling:
+            # ref init_args: local_sampling requires distributed storage
+            assert self.dist.distributed_dataset_storage, (
+                "local_sampling works only when "
+                "distributed_dataset_storage==True")
+        if not self.dist.gaussians_distribution:
+            # ref init_args: replicated Gaussians => single-file saves
+            self.dist.distributed_save = False
         return self
 
 

@@ -150,6 +150,77 @@ def load_checkpoint(
     )
 
 
+def load_checkpoint_sharded(directory: str, world_size: int,
+                            capacity: Optional[int] = None) -> TrainState:
+    """Load a checkpoint for a ``world_size``-device mesh as ONE host
+    TrainState whose capacity axis is block-partitioned per shard
+    (shard d occupies rows [d*cap, (d+1)*cap)).
+
+    Same-world-size restores keep the per-shard Adam moments (the
+    reference's equal-ws path, utils/general_utils.py:647-664); any other
+    world size falls back to the merge/split path which drops Adam
+    (ref behavior, general_utils.py:546,589).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    saved_ws, paths = _find_shards(directory)
+    if saved_ws != world_size:
+        # elastic path: the contiguous-chunk per-rank loader already
+        # implements merge (fewer ranks) / split (more ranks); run it once
+        # per target shard with a common capacity and block-concat.
+        total = sum(int(np.load(p)["param_means3d"].shape[0]) for p in paths)
+        cap = (capacity if capacity is not None
+               else round_capacity(max(-(-total // world_size), 1)))
+        shards = [
+            load_checkpoint(directory, rank=d, world_size=world_size,
+                            capacity=cap)
+            for d in range(world_size)
+        ]
+        return jax.tree_util.tree_map(
+            lambda *ls: (jnp.concatenate(ls, axis=0)
+                         if getattr(ls[0], "ndim", 0) > 0
+                         and ls[0].shape[0] == cap else ls[0]),
+            *shards)
+
+    datas = [np.load(p) for p in paths]
+    sizes = [int(d["param_means3d"].shape[0]) for d in datas]
+    cap = capacity if capacity is not None else round_capacity(max(max(sizes), 1))
+    if max(sizes) > cap:
+        raise ValueError(f"shard size {max(sizes)} exceeds capacity {cap}")
+
+    def assemble(prefix: str, f: str, fill: float = 0.0) -> np.ndarray:
+        sample = datas[0][f"{prefix}_{f}"]
+        out = np.full((world_size * cap,) + sample.shape[1:], fill, np.float32)
+        for d_idx, (d, m) in enumerate(zip(datas, sizes)):
+            out[d_idx * cap: d_idx * cap + m] = d[f"{prefix}_{f}"]
+        return out
+
+    fills = {"scales_raw": -10.0, "opacities_raw": -10.0}
+    params_np = {f: assemble("param", f, fills.get(f, 0.0))
+                 for f in _PARAM_FIELDS}
+    q = params_np["quats"]
+    alive_np = np.zeros(world_size * cap, bool)
+    for d_idx, m in enumerate(sizes):
+        alive_np[d_idx * cap: d_idx * cap + m] = True
+    q[~alive_np, 0] = 1.0
+    params = GaussianParams(**{f: jnp.asarray(v) for f, v in params_np.items()})
+    adam = AdamState(
+        mu=GaussianParams(**{f: jnp.asarray(assemble("mu", f))
+                             for f in _PARAM_FIELDS}),
+        nu=GaussianParams(**{f: jnp.asarray(assemble("nu", f))
+                             for f in _PARAM_FIELDS}),
+        count=jnp.asarray(datas[0]["adam_count"]),
+    )
+    return TrainState(
+        params=params,
+        alive=jnp.asarray(alive_np),
+        adam=adam,
+        stats=densify_stats_init(world_size * cap),
+        iteration=jnp.asarray(int(datas[0]["iteration"]), jnp.int32),
+    )
+
+
 def find_latest_checkpoint(checkpoints_root: str) -> Optional[str]:
     """Latest iteration subdirectory under ``<root>/checkpoints`` (ref:
     --auto_start_checkpoint, arguments/__init__.py:236-272)."""

@@ -40,11 +40,12 @@ def params_to_ply_fields(params: GaussianParams, alive: np.ndarray) -> dict:
         "ny": np.zeros(n, np.float32),
         "nz": np.zeros(n, np.float32),
     }
-    # channel-major flattening: transpose (n, K, 3) -> (n, 3, K)
-    dc_cm = f_dc.transpose(0, 2, 1).reshape(n, -1)
+    # channel-major flattening: transpose (n, K, 3) -> (n, 3, K); explicit
+    # column counts so n == 0 (an empty shard) still writes a valid header
+    dc_cm = f_dc.transpose(0, 2, 1).reshape(n, f_dc.shape[1] * 3)
     for i in range(dc_cm.shape[1]):
         fields[f"f_dc_{i}"] = dc_cm[:, i].astype(np.float32)
-    rest_cm = f_rest.transpose(0, 2, 1).reshape(n, -1)
+    rest_cm = f_rest.transpose(0, 2, 1).reshape(n, f_rest.shape[1] * 3)
     for i in range(rest_cm.shape[1]):
         fields[f"f_rest_{i}"] = rest_cm[:, i].astype(np.float32)
     fields["opacity"] = opac.astype(np.float32)

@@ -114,7 +114,9 @@ def train_step(
     if lr_scale_mode != "accumu":
         grads = jax.tree.map(lambda g: g / bsz, grads)
 
-    stats = accumulate_densify_stats(state.stats, tap_grad, radii)
+    stats = accumulate_densify_stats(
+        state.stats, tap_grad, radii, render_cfg.img_w, render_cfg.img_h
+    )
 
     xyz_lr = xyz_sched(state.iteration)
     params, adam = adam_step(state.params, grads, state.adam, lrs, xyz_lr,

@@ -39,6 +39,7 @@ from ..ops.ssim import psnr as psnr_fn
 from ..parallel import (
     DivisionHistory, ParallelConfig, ShardedTrainer, divide_rows, pack_gt_rows,
 )
+from ..parallel.division import divide_rows_whole_images
 from ..parallel.redistribute import build_redistribute
 from ..parallel.sharded import _state_specs
 from .train import TrainState, XyzLrSchedule
@@ -70,6 +71,10 @@ class Trainer:
         # measured to OOM a 16GB chip at bsz=4 (payload+grad+align buffers
         # plus the model), 2^22 runs
         self.isect_capacity_ceiling = 1 << 22
+        # pixel parallelism off (or local_sampling): whole images per device
+        self._whole_image_division = (
+            self.n_devices > 1
+            and (not cfg.dist.image_distribution or cfg.dist.local_sampling))
 
         h, w = scene.train_cameras[0].height, scene.train_cameras[0].width
         self.img_h, self.img_w = h, w
@@ -104,7 +109,10 @@ class Trainer:
 
         # model init
         if cfg.start_checkpoint:
-            self.state = load_checkpoint(cfg.start_checkpoint)
+            from .checkpoint import load_checkpoint_sharded
+
+            self.state = load_checkpoint_sharded(
+                cfg.start_checkpoint, self.n_devices)
             n0 = int(jnp.sum(self.state.alive))
             self.n_local = self.state.alive.shape[0] // self.n_devices
         else:
@@ -123,7 +131,7 @@ class Trainer:
                 max(int(n0 / self.n_devices * 1.5), 512))
             params, alive = init_from_pcd(
                 pcd.points, pcd.colors, self.n_local * self.n_devices,
-                cfg.model.sh_degree)
+                cfg.model.sh_degree, n_shards=self.n_devices)
             self.state = TrainState(
                 params=params, alive=alive, adam=adam_init(params),
                 stats=densify_stats_init(alive.shape[0]),
@@ -138,6 +146,29 @@ class Trainer:
         warm = cfg.dist.adjust_strategy_warmp_iterations
         self.warmup_iters = (
             len(scene.train_cameras) if warm < 0 else warm)
+
+        # --preload_dataset_to_gpu: GT images live in HBM; tile rows are
+        # gathered on-device per step instead of host-packed + H2D-copied.
+        # Auto-enabled for small datasets like the reference
+        # (train_internal.py:133-155: dataset < threshold GB => preload,
+        # local_sampling/distributed storage forced off).
+        self._gt_device = None
+        self._gt_packer_cache = {}
+        n_cams = len(scene.train_cameras) + len(scene.test_cameras)
+        ds_gb = n_cams * h * w * 3 / 1e9
+        thresh = cfg.dist.preload_dataset_to_gpu_threshold
+        if (cfg.dist.preload_dataset_to_gpu
+                or (thresh > 0 and ds_gb < thresh)):
+            if cfg.dist.local_sampling:
+                self._log("preload_dataset_to_gpu: disabling local_sampling "
+                          "(ref train_internal.py:150-152)")
+                cfg.dist.local_sampling = False
+                self._whole_image_division = (
+                    self.n_devices > 1 and not cfg.dist.image_distribution)
+            cfg.dist.distributed_dataset_storage = False
+            self._preload_gt()
+            self._log(f"preloaded {len(scene.train_cameras)} GT images "
+                      f"({ds_gb:.2f} GB dataset) to device memory")
 
     # ------------------------------------------------------------------
 
@@ -165,6 +196,16 @@ class Trainer:
         # local-shard slot; overflow shows up in the num_isects metric.
         isect_cap = 1 << max(
             14, int(np.ceil(np.log2(p.isect_capacity_factor * n_loc))))
+        if isect_cap > self.isect_capacity_ceiling:
+            # capacity growth can push factor*n_local past the measured
+            # HBM-safe bound even when the telemetry tuner stopped doubling
+            # the factor — clamp so a grown shard never recompiles an
+            # OOM-sized entry buffer; overflow drops become attributable
+            # via this log line.
+            self._log(
+                f"isect capacity clamped to ceiling "
+                f"{self.isect_capacity_ceiling} (wanted {isect_cap})")
+            isect_cap = self.isect_capacity_ceiling
         backend = p.backend
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "jax"
@@ -172,10 +213,17 @@ class Trainer:
         # the reference's init_args ws==1 fixup (arguments/__init__.py:286-292)
         gauss_dist = (self.cfg.dist.gaussians_distribution
                       and self.n_devices > 1)
+        # whole-image assignment needs room for ceil(bsz/D) full images of
+        # tile rows per device (the balanced split only needs ~total/D)
+        n_row_slots = 0
+        if self._whole_image_division:
+            tiles_y = -(-self.img_h // p.tile_h)
+            n_row_slots = -(-bsz // self.n_devices) * tiles_y
         return ParallelConfig(
             n_devices=self.n_devices, bsz=bsz,
             img_h=self.img_h, img_w=self.img_w,
             tile_w=p.tile_w, tile_h=p.tile_h,
+            n_row_slots=n_row_slots,
             isect_capacity=isect_cap,
             max_per_tile=p.max_per_tile, chunk=p.chunk,
             backend=backend,
@@ -198,52 +246,121 @@ class Trainer:
     def _gather_state(self) -> TrainState:
         return jax.tree.map(lambda x: jax.device_get(x), self.state)
 
+    def _leaf_shard(self, leaf, d: int) -> np.ndarray:
+        """Device d's slice of a capacity-axis leaf WITHOUT a global gather
+        (reads the one addressable shard; O(shard) host traffic)."""
+        n = self.n_local
+        total = n * self.n_devices
+        if getattr(leaf, "ndim", 0) == 0 or leaf.shape[0] != total:
+            return np.asarray(leaf)
+        lo, hi = d * n, (d + 1) * n
+        for s in getattr(leaf, "addressable_shards", []):
+            idx = s.index[0] if s.index else slice(None)
+            s_lo = idx.start if idx.start is not None else 0
+            s_hi = idx.stop if idx.stop is not None else leaf.shape[0]
+            if s_lo == lo and s_hi == hi:
+                return np.asarray(s.data)
+        # replicated leaf / non-addressable (multi-host): slice
+        return np.asarray(leaf[lo:hi])
+
     # ------------------------------------------------------------------
 
     def _grow_capacity(self):
-        """Double per-shard capacity (host-side, preserves shard locality)."""
+        """Double per-shard capacity DEVICE-SIDE (each shard pads itself
+        under shard_map — O(shard) HBM traffic, zero host transfer; the
+        old host-gather version moved ~3x the full model+Adam state over
+        PCIe, which is ~28GB at the reference's 40M-Gaussian Rubble scale).
+        Block-interleaved padding is also fine in replicated mode: free
+        slots may live anywhere on the capacity axis."""
+        from jax import shard_map
+
         old_local = self.n_local
         new_local = old_local * 2
-        host = self._gather_state()
-        # (block-interleaved padding is also fine in replicated mode: free
-        # slots may live anywhere on the capacity axis)
-        d = self.n_devices
+        replicated = not (self.cfg.dist.gaussians_distribution
+                          and self.n_devices > 1)
+        # in replicated mode every device holds the full axis; "local" for
+        # the pad below is then the whole capacity
+        pad_n = old_local * self.n_devices if replicated else old_local
 
-        def grow(x, fill=0.0):
-            x = np.asarray(x)
-            if x.ndim == 0 or x.shape[0] != old_local * d:
-                return x
-            shaped = x.reshape((d, old_local) + x.shape[1:])
-            pad_block = np.full((d, old_local) + x.shape[1:], fill, x.dtype)
-            return np.concatenate([shaped, pad_block], axis=1).reshape(
-                (d * new_local,) + x.shape[1:])
+        def grow_state(state: TrainState) -> TrainState:
+            def pad(loc, fill=0.0, quat=False):
+                blk = jnp.full((pad_n,) + loc.shape[1:], fill, loc.dtype)
+                if quat:
+                    blk = blk.at[:, 0].set(1.0)   # identity rotation
+                return jnp.concatenate([loc, blk], axis=0)
 
-        alive_new = grow(host.alive, False)
-        quats = grow(host.params.quats)
-        quats[~alive_new, 0] = 1.0   # identity rotation for padded slots
-        params = GaussianParams(
-            means3d=grow(host.params.means3d),
-            sh_dc=grow(host.params.sh_dc),
-            sh_rest=grow(host.params.sh_rest),
-            scales_raw=grow(host.params.scales_raw, -10.0),
-            quats=quats,
-            opacities_raw=grow(host.params.opacities_raw, -10.0),
-        )
-        adam = self.state.adam.__class__(
-            mu=GaussianParams(*(jnp.asarray(grow(l)) for l in host.adam.mu)),
-            nu=GaussianParams(*(jnp.asarray(grow(l)) for l in host.adam.nu)),
-            count=jnp.asarray(host.adam.count),
-        )
-        new_state = TrainState(
-            params=jax.tree.map(jnp.asarray, params),
-            alive=jnp.asarray(alive_new),
-            adam=adam,
-            stats=densify_stats_init(new_local * d),
-            iteration=jnp.asarray(host.iteration),
-        )
+            params = GaussianParams(
+                means3d=pad(state.params.means3d),
+                sh_dc=pad(state.params.sh_dc),
+                sh_rest=pad(state.params.sh_rest),
+                scales_raw=pad(state.params.scales_raw, -10.0),
+                quats=pad(state.params.quats, 0.0, quat=True),
+                opacities_raw=pad(state.params.opacities_raw, -10.0),
+            )
+            adam = state.adam.__class__(
+                mu=GaussianParams(*(pad(l) for l in state.adam.mu)),
+                nu=GaussianParams(*(pad(l) for l in state.adam.nu)),
+                count=state.adam.count,
+            )
+            return TrainState(
+                params=params,
+                alive=pad(state.alive, False),
+                adam=adam,
+                stats=densify_stats_init(2 * pad_n),
+                iteration=state.iteration,
+            )
+
+        specs = _state_specs(replicated)
+        grown = jax.jit(shard_map(
+            grow_state, mesh=self.mesh, in_specs=(specs,), out_specs=specs,
+            check_vma=False,
+        ))(self.state)
         self.n_local = new_local
-        self.state = self._shard(new_state)
-        self._log(f"capacity grown: {old_local} -> {new_local} per shard")
+        self.state = grown
+        self._log(f"capacity grown: {old_local} -> {new_local} per shard "
+                  f"(device-side)")
+
+    def _preload_gt(self):
+        """Upload all train GT images once as a replicated device array of
+        shape (C, 3, tiles_y, tile_h, W) uint8 (tile-row-major so the
+        per-step packer is a plain slice-gather)."""
+        th = self.cfg.pipeline.tile_h
+        tiles_y = -(-self.img_h // th)
+        cams = self.scene.train_cameras
+        stack = np.zeros(
+            (len(cams), 3, tiles_y * th, self.img_w), np.uint8)
+        for i, c in enumerate(cams):
+            if c.gt_image_u8 is not None:
+                stack[i, :, : self.img_h, :] = c.gt_image_u8
+        stack = stack.reshape(len(cams), 3, tiles_y, th, self.img_w)
+        self._gt_device = jax.device_put(
+            stack, NamedSharding(self.mesh, P()))
+        self._gt_index = {c.uid: i for i, c in enumerate(cams)}
+
+    def _gt_packer(self, pcfg: ParallelConfig):
+        """Jitted on-device row packer: (gt_tiled, cam_ids, division_pos)
+        -> (D, R, 3, tile_h, W) uint8 sharded P('d') — the device-resident
+        counterpart of pack_gt_rows."""
+        from jax import shard_map
+
+        key = (pcfg.n_row_slots, pcfg.bsz)
+        if key in self._gt_packer_cache:
+            return self._gt_packer_cache[key]
+        tiles_y, r_slots, bsz = pcfg.tiles_y, pcfg.n_row_slots, pcfg.bsz
+
+        def pack(gt_tiled, cam_ids, division_pos):
+            d = jax.lax.axis_index("d")
+            rows = division_pos[d] + jnp.arange(r_slots, dtype=jnp.int32)
+            valid = rows < division_pos[d + 1]
+            b = jnp.clip(rows // tiles_y, 0, bsz - 1)
+            out = gt_tiled[cam_ids[b], :, rows % tiles_y]   # (R, 3, th, W)
+            return jnp.where(valid[:, None, None, None], out, 0)[None]
+
+        fn = jax.jit(shard_map(
+            pack, mesh=self.mesh, in_specs=(P(), P(), P()),
+            out_specs=P("d"), check_vma=False))
+        self._gt_packer_cache[key] = fn
+        return fn
 
     def _pack_gt(self, batch: List[Camera], pos_np: np.ndarray,
                  pcfg: ParallelConfig) -> np.ndarray:
@@ -260,6 +377,32 @@ class Trainer:
             batch, pos_np, self.n_devices, pcfg.n_row_slots,
             pcfg.tile_h, self.img_h, self.img_w)
 
+    def _gt_rows_array(self, batch: List[Camera], pos_np: np.ndarray,
+                       pcfg: ParallelConfig, trainer: ShardedTrainer):
+        """(D, R, 3, tile_h, W) uint8 gt_rows as a sharded device array.
+
+        Single-process: one packed host buffer, device_put per shard.
+        Multi-process (pod slice): each host packs ONLY the rows of its
+        addressable devices — no host ever materializes the full (D, R, ...)
+        buffer (the reference's analogue is the in-node P2P row-slice
+        distribution, loss_distribution.py:2444-2532).
+        """
+        sharding = trainer.sharding_for(P("d"))
+        if jax.process_count() == 1:
+            return jax.device_put(
+                self._pack_gt(batch, pos_np, pcfg), sharding)
+
+        shape = (self.n_devices, pcfg.n_row_slots, 3, pcfg.tile_h, self.img_w)
+
+        def cb(index):
+            d = index[0].start if index[0].start is not None else 0
+            sub_pos = np.asarray([pos_np[d], pos_np[d + 1]], np.int32)
+            return pack_gt_rows(
+                batch, sub_pos, 1, pcfg.n_row_slots, pcfg.tile_h,
+                self.img_h, self.img_w)
+
+        return jax.make_array_from_callback(shape, sharding, cb)
+
     # ------------------------------------------------------------------
 
     def eval_psnr(self, cameras: List[Camera], sh_degree: int,
@@ -270,23 +413,24 @@ class Trainer:
         trainer = self._trainer(sh_degree)
         cfg = trainer.cfg
         cams = cameras[: max_cams] if max_cams else cameras
-        n_use = (len(cams) // bsz) * bsz
-        if n_use == 0:
-            n_use = min(len(cams), bsz)
-            cams = (cams * bsz)[:bsz]
         psnrs, l1s = [], []
         pos_np = divide_rows(
             np.ones(cfg.total_rows), self.n_devices, cfg.n_row_slots)
         pos = jnp.asarray(pos_np)
-        for i in range(0, n_use, bsz):
+        for i in range(0, len(cams), bsz):
             batch = cams[i:i + bsz]
-            if len(batch) < bsz:
-                break
+            n_real = len(batch)
+            if n_real < bsz:
+                # pad the short final batch by repeating the last camera so
+                # every camera contributes to the metric (the reference's
+                # training_report evaluates the full test set); padded
+                # outputs are dropped below
+                batch = batch + [batch[-1]] * (bsz - n_real)
             imgs = trainer.render(
                 self.state.params, self.state.alive,
                 batch_camera_arrays(batch), pos, self.bg)
             imgs = jnp.clip(imgs, 0.0, 1.0)
-            for b, cam in enumerate(batch):
+            for b, cam in enumerate(batch[:n_real]):
                 gt = jnp.asarray(cam.gt_image_u8).astype(jnp.float32) / 255.0
                 psnrs.append(float(psnr_fn(imgs[b], gt)))
                 l1s.append(float(jnp.mean(jnp.abs(imgs[b] - gt))))
@@ -308,12 +452,27 @@ class Trainer:
             trainer = self._trainer(sh_degree)
             pcfg = trainer.cfg
 
-            batch = self.dataset.next_batch(bsz)
-            heur = self.history.heuristic_for(batch)
-            pos_np = divide_rows(heur, self.n_devices, pcfg.n_row_slots)
-            gt_rows = jax.device_put(
-                self._pack_gt(batch, pos_np, pcfg),
-                trainer.sharding_for(P("d")))
+            if cfg.dist.local_sampling:
+                # each device's cameras come from its own store (uid % D ==
+                # d) and are rendered wholly by it (ref train_internal.py:
+                # 113-132 + workload_division.py:858-877)
+                batch = self.dataset.next_batch_grouped(bsz, self.n_devices)
+            else:
+                batch = self.dataset.next_batch(bsz)
+            if self._whole_image_division:
+                pos_np = divide_rows_whole_images(
+                    bsz, self._tiles_y(), self.n_devices)
+            else:
+                heur = self.history.heuristic_for(batch)
+                pos_np = divide_rows(heur, self.n_devices, pcfg.n_row_slots)
+            if self._gt_device is not None:
+                cam_ids = np.asarray(
+                    [self._gt_index[c.uid] for c in batch], np.int32)
+                gt_rows = self._gt_packer(pcfg)(
+                    self._gt_device, jnp.asarray(cam_ids),
+                    jnp.asarray(pos_np))
+            else:
+                gt_rows = self._gt_rows_array(batch, pos_np, pcfg, trainer)
 
             bg = self.bg
             if cfg.opt.random_background:
@@ -342,6 +501,7 @@ class Trainer:
                     p_batch, p_pos, np.asarray(p_metrics["per_row_entries"]))
                 self._check_capacity_telemetry(p_metrics, pcfg)
             if (not cfg.dist.no_heuristics_update
+                    and not self._whole_image_division
                     and self.n_devices > 1 and it >= self.warmup_iters):
                 self._pending_costs = (batch, pos_np, metrics)
             else:
@@ -350,7 +510,13 @@ class Trainer:
                     self._check_capacity_telemetry(metrics, pcfg)
 
             # host-side iteration counter (a device_get here would force a
-            # full sync every step and serialize dispatch)
+            # full sync every step and serialize dispatch). ``sched_it`` is
+            # the reference's loop-variable value for the step just taken
+            # (1-based, pre-increment: train_internal.py:95-97) — the
+            # densify/opacity-reset schedule below must use it, not the
+            # post-increment counter, to fire on the same step as the
+            # reference when bsz does not divide the interval.
+            sched_it = it + 1
             it += bsz
 
             # per-epoch average loss (ref: SceneDataset epoch logging,
@@ -373,12 +539,13 @@ class Trainer:
                     f"xyz_lr={float(metrics['xyz_lr']):.2e} it/s={ips:.2f}")
 
             # ---- densification schedule (ref densification.py:5-85) ----
-            if (not o.disable_auto_densification and it <= o.densify_until_iter
-                    and it > o.densify_from_iter
+            if (not o.disable_auto_densification
+                    and sched_it <= o.densify_until_iter
+                    and sched_it > o.densify_from_iter
                     and not self._memory_guard_tripped()
                     and check_update_at_this_iter(
-                        it, bsz, o.densification_interval, 0)):
-                use_size_prune = it > o.opacity_reset_interval
+                        sched_it, bsz, o.densification_interval, 0)):
+                use_size_prune = sched_it > o.opacity_reset_interval
                 self.state, info = trainer.densify(
                     self.state, jax.random.key(cfg.seed * 1000003 + it),
                     o.densify_grad_threshold, o.min_opacity,
@@ -395,18 +562,31 @@ class Trainer:
                     self._grow_capacity()
                     trainer = self._trainer(sh_degree)
 
-                # redistribution (ref densification.py:46-60)
+                # redistribution (ref densification.py:46-60): every
+                # `frequency` densifications, and then only if shards are
+                # imbalanced — always after the first eligible densification,
+                # otherwise when max/min alive ratio exceeds the threshold
+                # (ref need_redistribute_gaussians, gaussian_model.py:1246-1260)
+                freq = cfg.dist.redistribute_gaussians_frequency
                 if (self.n_devices > 1
                         and cfg.dist.gaussians_distribution
                         and cfg.dist.redistribute_gaussians_mode
                         == "random_redistribute"
-                        and self.densify_count
-                        % cfg.dist.redistribute_gaussians_frequency == 0):
-                    self._redistribute(it)
+                        and self.densify_count % freq == 0):
+                    alive_per = info[:, 4].astype(np.int64)
+                    need = (
+                        self.densify_count == freq
+                        or alive_per.min()
+                        * cfg.dist.redistribute_gaussians_threshold
+                        < alive_per.max()
+                    )
+                    if need:
+                        self._redistribute(it)
 
             # ---- opacity reset ----
-            if (check_update_at_this_iter(it, bsz, o.opacity_reset_interval, 0)
-                    and it + bsz <= o.opacity_reset_until_iter):
+            if (check_update_at_this_iter(
+                        sched_it, bsz, o.opacity_reset_interval, 0)
+                    and sched_it + bsz <= o.opacity_reset_until_iter):
                 self.state = trainer.reset_opacity(self.state)
                 self._log(f"iter {it}: opacity reset")
 
@@ -502,17 +682,45 @@ class Trainer:
             self._log(f"iter {it}: eval {name}: L1={r['l1']:.5f} "
                       f"PSNR={r['psnr']:.3f} ({r['n']} cams)")
 
+    def _distributed_io(self) -> bool:
+        return (self.cfg.dist.distributed_save and self.n_devices > 1
+                and self.cfg.dist.gaussians_distribution)
+
     def save_model(self, it: int):
         out = os.path.join(self.cfg.model.model_path, "point_cloud",
                            f"iteration_{it}")
         os.makedirs(out, exist_ok=True)
-        host = self._gather_state()
-        save_ply(os.path.join(out, "point_cloud.ply"),
-                 host.params, np.asarray(host.alive))
-        self._log(f"iter {it}: saved PLY to {out}")
+        if self._distributed_io():
+            # per-shard PLYs, O(shard) host traffic per file (ref
+            # --distributed_save: point_cloud_rk{r}_ws{w}.ply,
+            # gaussian_model.py:418-552); load_ply auto-detects the set
+            d_count = self.n_devices
+            for d in range(d_count):
+                params_d = GaussianParams(
+                    *(self._leaf_shard(l, d) for l in self.state.params))
+                alive_d = self._leaf_shard(self.state.alive, d)
+                save_ply(
+                    os.path.join(out, f"point_cloud_rk{d}_ws{d_count}.ply"),
+                    params_d, alive_d)
+            self._log(f"iter {it}: saved {d_count} PLY shards to {out}")
+        else:
+            host = self._gather_state()
+            save_ply(os.path.join(out, "point_cloud.ply"),
+                     host.params, np.asarray(host.alive))
+            self._log(f"iter {it}: saved PLY to {out}")
 
     def save_checkpoint(self, it: int):
         out = os.path.join(self.cfg.model.model_path, "checkpoints", str(it))
-        host = self._gather_state()
-        save_checkpoint(out, host, rank=0, world_size=1)
-        self._log(f"iter {it}: saved checkpoint to {out}")
+        if self._distributed_io():
+            # per-shard npz checkpoints keyed rk/ws (elastic on load, ref
+            # train_internal.py:287-313); Adam moments travel with the shard
+            d_count = self.n_devices
+            for d in range(d_count):
+                shard = jax.tree.map(
+                    lambda l: self._leaf_shard(l, d), self.state)
+                save_checkpoint(out, shard, rank=d, world_size=d_count)
+            self._log(f"iter {it}: saved {d_count} checkpoint shards to {out}")
+        else:
+            host = self._gather_state()
+            save_checkpoint(out, host, rank=0, world_size=1)
+            self._log(f"iter {it}: saved checkpoint to {out}")

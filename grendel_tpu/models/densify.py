@@ -66,13 +66,24 @@ def densify_stats_init(capacity: int) -> DensifyStats:
 
 def accumulate_densify_stats(
     stats: DensifyStats,
-    means2d_grad: Array,   # (B, N, 2) d(loss)/d(means2d) per camera
+    means2d_grad: Array,   # (B, N, 2) d(loss)/d(means2d) per camera, PIXEL space
     radii: Array,          # (B, N) int32 — 0 = not visible in that camera
+    img_w: int,
+    img_h: int,
 ) -> DensifyStats:
     """Add one batch's screen-space gradient stats (ref:
-    gaussian_model.py:1046-1052 + densification.py:16-25)."""
+    gaussian_model.py:1046-1064 + densification.py:16-25).
+
+    Our projected means2d are in pixel units; the reference convention that
+    the default ``densify_grad_threshold=0.0002`` assumes is gradients w.r.t.
+    NDC-half-extent units — the reference's gsplat path converts explicitly
+    by multiplying pixel grads with (0.5*width, 0.5*height)
+    (gaussian_model.py:1054-1064), and the CUDA rasterizer returns grads in
+    that scale natively. Scale before the norm so thresholds are portable.
+    """
     visible = radii > 0                                    # (B, N)
-    norms = jnp.linalg.norm(means2d_grad, axis=-1)         # (B, N)
+    scale = jnp.asarray([0.5 * img_w, 0.5 * img_h], jnp.float32)
+    norms = jnp.linalg.norm(means2d_grad * scale, axis=-1)  # (B, N)
     return DensifyStats(
         grad_accum=stats.grad_accum + jnp.sum(jnp.where(visible, norms, 0.0), axis=0),
         denom=stats.denom + jnp.sum(visible, axis=0).astype(jnp.float32),

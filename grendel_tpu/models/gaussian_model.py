@@ -86,6 +86,7 @@ def init_from_pcd(
     colors: np.ndarray,      # (M, 3) in [0, 1]
     capacity: int,
     max_sh_degree: int = 3,
+    n_shards: int = 1,
 ) -> Tuple[GaussianParams, Array]:
     """Initialize from a (host) point cloud; returns (params, alive).
 
@@ -93,30 +94,43 @@ def init_from_pcd(
     (/root/reference/scene/gaussian_model.py:140-232): SH DC from RGB2SH,
     rest zero; isotropic log-scale from sqrt of the clamped mean squared
     distance to the 3 nearest neighbors; identity rotation; opacity 0.1.
+
+    ``n_shards`` > 1 block-splits the points across equal capacity blocks
+    (shard d gets contiguous chunk d at offset d * capacity/n_shards) —
+    the reference's per-rank chunk split (gaussian_model.py:183-199), so a
+    P('d')-sharded mesh starts load-balanced instead of all-on-device-0.
     """
     m = points.shape[0]
     if m > capacity:
         raise ValueError(f"point cloud ({m}) exceeds capacity ({capacity})")
+    assert capacity % n_shards == 0
     dist2 = np.maximum(mean_dist2_to_knn(points, k=3), 1e-7)
     log_scale = np.log(np.sqrt(dist2))
 
+    block = capacity // n_shards
+    idx = np.concatenate([
+        d * block + np.arange((d + 1) * m // n_shards - d * m // n_shards)
+        for d in range(n_shards)
+    ]).astype(np.int64)
+    assert idx.shape[0] == m and (m == 0 or idx.max() < capacity)
+    idx_j = jnp.asarray(idx)
+
     base = empty_params(capacity, max_sh_degree)
-    sl = slice(0, m)
     params = GaussianParams(
-        means3d=base.means3d.at[sl].set(jnp.asarray(points, jnp.float32)),
-        sh_dc=base.sh_dc.at[sl].set(
+        means3d=base.means3d.at[idx_j].set(jnp.asarray(points, jnp.float32)),
+        sh_dc=base.sh_dc.at[idx_j].set(
             jnp.asarray(sh_ops.rgb_to_sh(np.asarray(colors, np.float32)))[:, None, :]
         ),
         sh_rest=base.sh_rest,
-        scales_raw=base.scales_raw.at[sl].set(
+        scales_raw=base.scales_raw.at[idx_j].set(
             jnp.asarray(log_scale, jnp.float32)[:, None].repeat(3, axis=1)
         ),
         quats=base.quats,
-        opacities_raw=base.opacities_raw.at[sl].set(
+        opacities_raw=base.opacities_raw.at[idx_j].set(
             float(inverse_sigmoid(jnp.asarray(0.1)))
         ),
     )
-    alive = jnp.zeros((capacity,), bool).at[sl].set(True)
+    alive = jnp.zeros((capacity,), bool).at[idx_j].set(True)
     return params, alive
 
 

@@ -178,7 +178,18 @@ def _fwd_kernel(
 
     init = (jnp.int32(0), jnp.ones((p, 1), jnp.float32),
             jnp.zeros((p, 4), jnp.float32))
-    _, t_fin, acc = jax.lax.while_loop(cond, body, init)
+    c_stop, t_fin, acc = jax.lax.while_loop(cond, body, init)
+
+    # Saturation early-exit (c_stop < n_chunks) leaves the in_copy(c_stop)
+    # prefetch started by body c_stop-1 un-waited; its semaphore signal
+    # would leak into the next grid step's first wait, which would then
+    # read a chunk slot before its DMA lands. Drain it here. (c_stop > 0
+    # guard: with n_chunks > 0 the body always runs at least once, and at
+    # c_stop == 0 nothing beyond in_copy(0) was started.)
+    @pl.when((c_stop < n_chunks) & (c_stop > 0))
+    def _():
+        in_copy(c_stop).wait()
+
     color_out[0] = acc
     t_out[0] = t_fin
 
@@ -300,6 +311,13 @@ def _bwd_kernel(
     init = (jnp.int32(0), jnp.ones((p, 1), jnp.float32),
             jnp.zeros((p, 1), jnp.float32))
     c_stop, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # Drain the input prefetch a saturation early-exit left in flight (see
+    # the forward kernel for the full rationale) — without this the stale
+    # semaphore signal corrupts the next grid step's first chunk read.
+    @pl.when((c_stop < n_chunks) & (c_stop > 0))
+    def _():
+        in_copy(c_stop).wait()
 
     @pl.when(c_stop >= 2)
     def _():

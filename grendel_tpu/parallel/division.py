@@ -69,6 +69,26 @@ def rows_of_device(division_pos: np.ndarray, d: int) -> range:
     return range(int(division_pos[d]), int(division_pos[d + 1]))
 
 
+def divide_rows_whole_images(
+    bsz: int, tiles_y: int, n_devices: int
+) -> np.ndarray:
+    """Division at whole-image boundaries: camera i is rendered entirely by
+    device i * D // bsz (no pixel parallelism within an image).
+
+    This is the reference's --local_sampling division (camera idx //
+    (bsz/ws) when bsz % ws == 0, workload_division.py:858-877) and our
+    realization of --image_distribution=False with other axes kept (the
+    reference's live path asserts that combination out on multi-GPU,
+    gaussian_renderer/__init__.py:895-897 — whole-image assignment is its
+    natural meaning). Devices beyond bsz get empty spans when bsz < D.
+    """
+    cams = np.minimum(
+        np.arange(n_devices + 1, dtype=np.int64) * bsz // n_devices, bsz)
+    # when bsz >= D make the assignment i*D//bsz-consistent: contiguous
+    # near-equal camera chunks, exactly bsz/D each when divisible
+    return (cams * tiles_y).astype(np.int32)
+
+
 class DivisionHistory:
     """Per-camera-uid EMA of per-tile-row cost (ref:
     DivisionStrategyHistoryFinal, workload_division.py:806-849)."""

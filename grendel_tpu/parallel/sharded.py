@@ -553,7 +553,9 @@ class ShardedTrainer:
             if lr_scale_mode != "accumu":
                 grads = jax.tree.map(lambda g: g / bsz, grads)
 
-            stats = accumulate_densify_stats(state.stats, tap_grad, aux["radii"])
+            stats = accumulate_densify_stats(
+                state.stats, tap_grad, aux["radii"], cfg.img_w, cfg.img_h
+            )
             xyz_lr = sched(state.iteration)
             params, adam = adam_step(
                 state.params, grads, state.adam, lrs, xyz_lr, state.alive

@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""Per-stage step-time attribution on the current backend.
+
+The TPU-side analogue of the reference's per-kernel GPU timer tables
+(/root/reference/analyze_statistic.py:747-809, which mines the CUDA
+extension's "10 preprocess / 70 render / b10 render" stage timers): each
+stage of the training step is jitted and timed in isolation, then compared
+against the fused full step. Prints a table plus a JSON line for
+regression tracking.
+
+Usage:
+  python scripts/profile_step.py [--height 840 --width 1296 --n 200000
+                                  --bsz 1 --steps 20] [--trace DIR]
+
+A stage-sum larger than the full step is normal (XLA fuses/overlaps across
+stage boundaries inside the one compiled step); the interesting signals are
+each stage's absolute cost and step-over-sum residual.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def timeit(fn, *args, steps=20, warmup=2):
+    import jax
+
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / steps * 1e3  # ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=840)
+    ap.add_argument("--width", type=int, default=1296)
+    ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--bsz", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--sh_degree", type=int, default=3)
+    ap.add_argument("--trace", type=str, default=None,
+                    help="jax.profiler trace output dir")
+    ap.add_argument("--platform", type=str, default=None)
+    a = ap.parse_args()
+
+    import jax
+    if a.platform:
+        jax.config.update("jax_platforms", a.platform)
+    import jax.numpy as jnp
+    from grendel_tpu.cameras import batch_camera_arrays
+    from grendel_tpu.engine.render import RenderConfig, render_batch
+    from grendel_tpu.engine.train import (
+        XyzLrSchedule, train_state_init, train_step,
+    )
+    from grendel_tpu.engine.loss import batch_loss
+    from grendel_tpu.models import scaled_lrs
+    from grendel_tpu.models.gaussian_model import GaussianParams, activated
+    from grendel_tpu.models.optimizer import adam_step
+    from grendel_tpu.ops.projection import project_gaussians
+    from grendel_tpu.ops.isect import isect_tiles
+    from grendel_tpu.testing import make_test_camera, random_gaussians
+    from grendel_tpu.utils.math3d import inverse_sigmoid
+
+    h, w, n_live, bsz, sh_degree = a.height, a.width, a.n, a.bsz, a.sh_degree
+    capacity = 1 << int(np.ceil(np.log2(max(n_live, 2) * 1.3)))
+    key = jax.random.key(0)
+    means, scales, quats, opac, sh = random_gaussians(
+        key, n_live, extent=3.0, sh_degree=sh_degree,
+        scale_range=(-5.5, -3.5))
+    pad = capacity - n_live
+
+    def padn(x, fill=0.0):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                       constant_values=fill)
+
+    params = GaussianParams(
+        means3d=padn(means), sh_dc=padn(sh[:, :1, :]),
+        sh_rest=padn(sh[:, 1:, :]),
+        scales_raw=padn(jnp.log(scales), fill=-10.0),
+        quats=padn(quats).at[n_live:, 0].set(1.0),
+        opacities_raw=padn(
+            inverse_sigmoid(jnp.clip(opac, 1e-4, 1 - 1e-4)), fill=-10.0),
+    )
+    alive = jnp.arange(capacity) < n_live
+    backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+    cfg = RenderConfig(img_h=h, img_w=w, isect_capacity=1 << 21,
+                       max_per_tile=1024, chunk=64, backend=backend)
+    cams_host = [make_test_camera(w, h, dist=5.0, angle=0.1 * i)
+                 for i in range(bsz)]
+    cams = batch_camera_arrays(cams_host)
+    rng = np.random.default_rng(0)
+    gt_u8 = jnp.asarray(rng.integers(0, 255, (bsz, 3, h, w), dtype=np.uint8))
+    gt = gt_u8.astype(jnp.float32) / 255.0
+    bg = jnp.zeros(3)
+    lrs, s = scaled_lrs(0.0025, 0.05, 0.005, 0.001, bsz=bsz)
+    sched = XyzLrSchedule(1.6e-4 * s, 1.6e-6 * s, 0.01, 30000)
+    state = train_state_init(params, alive)
+
+    times = {}
+
+    # ---- full step ----
+    def full(state):
+        return train_step(state, cams, gt_u8, bg, cfg, sh_degree, bsz,
+                          lambda_dssim=0.2, lrs=lrs, xyz_sched=sched)
+
+    times["full_step"] = timeit(lambda s_: full(s_)[1]["loss"], state,
+                                steps=a.steps)
+
+    # ---- projection fwd ----
+    act = activated(params)
+
+    @jax.jit
+    def proj_fwd(act_in):
+        def one(vm, fp, cp, tf):
+            return project_gaussians(
+                act_in.means3d, act_in.scales, act_in.quats,
+                act_in.opacities, act_in.sh, alive, vm, fp, cp, tf,
+                h, w, sh_degree)
+        return jax.vmap(one)(cams.viewmat, cams.full_proj, cams.campos,
+                             cams.tanfov)
+
+    splats_b = proj_fwd(act)
+    times["project_fwd"] = timeit(proj_fwd, act, steps=a.steps)
+
+    # ---- isect ----
+    splats0 = jax.tree.map(lambda x: x[0], splats_b)
+
+    @jax.jit
+    def isect_only(sp):
+        return isect_tiles(sp.means2d, sp.radii, sp.depths,
+                           cfg.tile_w, cfg.tile_h, cfg.tiles_x, cfg.tiles_y,
+                           capacity=cfg.isect_capacity)
+
+    isect = isect_only(splats0)
+    times["isect"] = timeit(isect_only, splats0, steps=a.steps) * bsz
+
+    # ---- rasterize fwd only ----
+    t_ids = jnp.arange(cfg.num_tiles, dtype=jnp.int32)
+    px0 = (t_ids % cfg.tiles_x) * cfg.tile_w
+    py0 = (t_ids // cfg.tiles_x) * cfg.tile_h
+
+    if backend == "pallas":
+        from grendel_tpu.ops.rasterize_pallas import rasterize_slots_pl as rs
+    else:
+        from grendel_tpu.ops.rasterize_jax import rasterize_slots as rs_j
+
+        def rs(m2, co, cl, op, gid, toff, x0, y0, tw, th, mpt):
+            return rs_j(m2, co, cl, op, gid, toff, x0, y0, tw, th, mpt,
+                        cfg.chunk)
+
+    @jax.jit
+    def raster_fwd(sp, ise):
+        return rs(sp.means2d, sp.conics, sp.colors, sp.opacities,
+                  ise.gauss_ids, ise.tile_offsets, px0, py0,
+                  cfg.tile_w, cfg.tile_h, cfg.max_per_tile)[0]
+
+    raster_fwd(splats0, isect)
+    times["raster_fwd"] = timeit(raster_fwd, splats0, isect,
+                                 steps=a.steps) * bsz
+
+    # ---- rasterize fwd+bwd ----
+    @jax.jit
+    def raster_fwd_bwd(sp, ise):
+        def f(m2, co, cl, op):
+            img, tf = rs(m2, co, cl, op, ise.gauss_ids, ise.tile_offsets,
+                         px0, py0, cfg.tile_w, cfg.tile_h, cfg.max_per_tile)
+            return jnp.sum(img) + jnp.sum(tf)
+        return jax.grad(f, argnums=(0, 1, 2, 3))(
+            sp.means2d, sp.conics, sp.colors, sp.opacities)
+
+    raster_fwd_bwd(splats0, isect)
+    times["raster_fwd_bwd"] = timeit(raster_fwd_bwd, splats0, isect,
+                                     steps=a.steps) * bsz
+
+    # ---- loss (L1+SSIM) fwd+bwd ----
+    img_b = jnp.zeros((bsz, 3, h, w), jnp.float32)
+
+    @jax.jit
+    def loss_fwd_bwd(imgs):
+        return jax.grad(lambda x: batch_loss(x, gt, 0.2)[0])(imgs)
+
+    loss_fwd_bwd(img_b)
+    times["loss_fwd_bwd"] = timeit(loss_fwd_bwd, img_b, steps=a.steps)
+
+    # ---- adam ----
+    grads = jax.tree.map(jnp.zeros_like, params)
+
+    @jax.jit
+    def adam_only(p, g, st):
+        return adam_step(p, g, st, lrs, 1e-4, alive)
+
+    adam_only(params, grads, state.adam)
+    times["adam"] = timeit(adam_only, params, grads, state.adam,
+                           steps=a.steps)
+
+    # ---- end-to-end fwd (render_batch) for reference ----
+    @jax.jit
+    def fwd_only(p):
+        imgs, _, _ = render_batch(p, alive, cams, sh_degree, cfg, bg=bg)
+        return imgs
+
+    fwd_only(params)
+    times["render_batch_fwd"] = timeit(fwd_only, params, steps=a.steps)
+
+    if a.trace:
+        jax.profiler.start_trace(a.trace)
+        st2, m = full(state)
+        jax.block_until_ready(m["loss"])
+        jax.profiler.stop_trace()
+        print(f"trace written to {a.trace}")
+
+    known = (times["project_fwd"] + times["isect"] + times["raster_fwd_bwd"]
+             + times["loss_fwd_bwd"] + times["adam"])
+    print(f"\n== per-stage times (ms), backend={backend}, "
+          f"{n_live} live / cap {capacity}, {w}x{h}, bsz={bsz} ==")
+    for k, v in sorted(times.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:24s} {v:9.2f}")
+    print(f"  {'stage_sum(indep)':24s} {known:9.2f}")
+    print(f"  {'residual(step-sum)':24s} {times['full_step'] - known:9.2f}")
+    print(json.dumps({"profile": {k: round(v, 2) for k, v in times.items()}}))
+
+
+if __name__ == "__main__":
+    main()

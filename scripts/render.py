@@ -28,6 +28,8 @@ def main():
     p.add_argument("--skip_train", action="store_true")
     p.add_argument("--skip_test", action="store_true")
     p.add_argument("--bsz", type=int, default=1)
+    p.add_argument("--resolution", "-r", type=float, default=None,
+                   help="GT downscale (defaults to the training run's)")
     a = p.parse_args()
 
     import json
@@ -55,6 +57,10 @@ def main():
         a.sh_degree = saved.get("sh_degree", a.sh_degree)
         a.white_background = saved.get("white_background", a.white_background)
         a.llffhold = saved.get("llffhold", a.llffhold)
+        if a.resolution is None:
+            a.resolution = saved.get("resolution", -1)
+    if a.resolution is None:
+        a.resolution = -1
     if not a.source_path:
         raise SystemExit("need --source_path (not found in saved args)")
 
@@ -71,7 +77,8 @@ def main():
     mesh = Mesh(np.array(devices), ("d",))
 
     scene = Scene(a.source_path, images=a.images, eval_split=a.eval,
-                  llffhold=a.llffhold, white_background=a.white_background)
+                  llffhold=a.llffhold, white_background=a.white_background,
+                  resolution=a.resolution)
     h = scene.train_cameras[0].height
     w = scene.train_cameras[0].width
 

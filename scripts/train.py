@@ -23,6 +23,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--source_path", "-s", type=str, default="")
     p.add_argument("--model_path", "-m", type=str, default="")
     p.add_argument("--images", "-i", type=str, default="images")
+    p.add_argument("--resolution", "-r", type=float, default=-1,
+                   help="GT downscale: 1/2/4/8 divider, -1 auto "
+                        "(cap width at 1600), other = target width")
     p.add_argument("--sh_degree", type=int, default=3)
     p.add_argument("--white_background", "-w", action="store_true")
     p.add_argument("--eval", action="store_true")
@@ -60,6 +63,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--redistribute_gaussians_mode", type=str,
                    default="random_redistribute")
     p.add_argument("--redistribute_gaussians_frequency", type=int, default=10)
+    p.add_argument("--redistribute_gaussians_threshold", type=float,
+                   default=1.1)
+    p.add_argument("--distributed_dataset_storage", type=int, default=1)
+    p.add_argument("--distributed_save", type=int, default=1)
+    p.add_argument("--local_sampling", action="store_true")
+    p.add_argument("--preload_dataset_to_gpu", action="store_true")
+    p.add_argument("--preload_dataset_to_gpu_threshold", type=int, default=10,
+                   help="GB; datasets smaller than this are auto-preloaded "
+                        "to device memory (<=0 disables auto-preload)")
+    p.add_argument("--adjust_strategy_warmp_iterations", type=int, default=-1)
     p.add_argument("--num_train_cameras", type=int, default=-1)
     p.add_argument("--num_test_cameras", type=int, default=-1)
     p.add_argument("--save_strategy_history", action="store_true")
@@ -101,6 +114,7 @@ def args_to_config(a):
     cfg.model.white_background = a.white_background
     cfg.model.eval = a.eval
     cfg.model.llffhold = a.llffhold
+    cfg.model.resolution = a.resolution
     o = cfg.opt
     for f in ("iterations", "position_lr_init", "position_lr_final",
               "position_lr_delay_mult", "position_lr_max_steps", "feature_lr",
@@ -122,6 +136,13 @@ def args_to_config(a):
     d.no_heuristics_update = a.no_heuristics_update
     d.redistribute_gaussians_mode = a.redistribute_gaussians_mode
     d.redistribute_gaussians_frequency = a.redistribute_gaussians_frequency
+    d.redistribute_gaussians_threshold = a.redistribute_gaussians_threshold
+    d.distributed_dataset_storage = bool(a.distributed_dataset_storage)
+    d.distributed_save = bool(a.distributed_save)
+    d.local_sampling = a.local_sampling
+    d.preload_dataset_to_gpu = a.preload_dataset_to_gpu
+    d.preload_dataset_to_gpu_threshold = a.preload_dataset_to_gpu_threshold
+    d.adjust_strategy_warmp_iterations = a.adjust_strategy_warmp_iterations
     d.save_strategy_history = a.save_strategy_history
     d.num_train_cameras = a.num_train_cameras
     d.num_test_cameras = a.num_test_cameras
@@ -174,7 +195,7 @@ def main():
             a.source_path, images=a.images, eval_split=a.eval,
             llffhold=a.llffhold, white_background=a.white_background,
             num_train=a.num_train_cameras, num_test=a.num_test_cameras,
-            seed=a.seed,
+            seed=a.seed, resolution=a.resolution,
         )
 
     devices = jax.devices()

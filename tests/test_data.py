@@ -131,6 +131,32 @@ def test_scene_and_dataset(colmap_scene_dir):
     assert sorted(seen[:8]) == list(range(8))
 
 
+def test_resolve_resolution():
+    from grendel_tpu.data.scene import resolve_resolution
+
+    assert resolve_resolution(1296, 840, 1) == (1296, 840)
+    assert resolve_resolution(1296, 840, 4) == (324, 210)
+    assert resolve_resolution(1296, 840, -1) == (1296, 840)   # <=1600: as-is
+    # auto-downscale wide images to 1600 (upstream-3DGS rule)
+    assert resolve_resolution(5187, 3361, -1) == (1600, 1036)
+    # float => target width
+    assert resolve_resolution(1296, 840, 648) == (648, 420)
+
+
+def test_scene_resolution_downscale(colmap_scene_dir):
+    scene = Scene(str(colmap_scene_dir), eval_split=False, seed=3,
+                  resolution=2)
+    cam = scene.train_cameras[0]
+    assert (cam.width, cam.height) == (32, 24)
+    assert cam.gt_image_u8.shape == (3, 24, 32)
+    # solid-color GT survives the resize exactly
+    assert cam.gt_image_u8.min() == cam.gt_image_u8.max()
+    # FoV unchanged (resolution-independent)
+    full = Scene(str(colmap_scene_dir), eval_split=False, seed=3)
+    by_name = {c.image_name: c for c in full.train_cameras}
+    assert np.isclose(cam.fovx, by_name[cam.image_name].fovx)
+
+
 @pytest.fixture
 def blender_scene_dir(tmp_path):
     from PIL import Image

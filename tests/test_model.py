@@ -307,10 +307,23 @@ def test_accumulate_densify_stats():
     g = jnp.array([[[3.0, 4.0], [0, 0], [1, 0], [0, 0]],
                    [[3.0, 4.0], [0, 1], [0, 0], [0, 0]]])  # (B=2, N=4, 2)
     radii = jnp.array([[2, 0, 1, 0], [3, 1, 0, 0]], jnp.int32)
-    s2 = accumulate_densify_stats(stats, g, radii)
+    # img_w=img_h=2 makes the reference NDC half-size scale (0.5*w, 0.5*h)
+    # the identity so the hand-computed norms below hold
+    s2 = accumulate_densify_stats(stats, g, radii, img_w=2, img_h=2)
     np.testing.assert_allclose(np.asarray(s2.grad_accum), [10.0, 1.0, 1.0, 0.0])
     np.testing.assert_allclose(np.asarray(s2.denom), [2, 1, 1, 0])
     np.testing.assert_allclose(np.asarray(s2.max_radii), [3, 1, 1, 0])
+
+
+def test_accumulate_densify_stats_ndc_scale():
+    # Reference convention (gaussian_model.py:1054-1064): pixel grads are
+    # scaled by (0.5*w, 0.5*h) before the norm, so thresholds like 0.0002
+    # are resolution-portable.
+    stats = densify_stats_init(1)
+    g = jnp.array([[[2e-3, 0.0]]])           # (B=1, N=1, 2) pixel-space grad
+    radii = jnp.array([[5]], jnp.int32)
+    s2 = accumulate_densify_stats(stats, g, radii, img_w=1000, img_h=800)
+    np.testing.assert_allclose(np.asarray(s2.grad_accum), [1.0], rtol=1e-6)
 
 
 def test_reset_opacity():
