@@ -5,10 +5,17 @@ contract, validated against it in tests) — the TPU counterpart of the
 reference's CUDA ``render_gaussians`` forward/backward (SURVEY.md §2.9).
 
 Design (why it beats the pure-JAX path):
-  * tile entry spans are CHUNK-aligned and entries PRE-GATHERED once into
-    a chunked payload array (n_chunks, 16, CHUNK) by XLA — the kernel then
-    streams whole chunks with DMA (lane dim = CHUNK = 128, satisfying
-    Mosaic's DMA tiling), no per-chunk gathers and no unaligned slices;
+  * the per-entry payload is gathered ONCE into a COMPACT chunked array
+    (cap/CHUNK, 16, CHUNK) in entry order — exactly one XLA row-gather of
+    ``capacity`` indices. (The previous per-tile chunk-ALIGNED layout
+    needed a second 4-byte id gather plus a 1.3-2.6x larger row gather;
+    XLA TPU gathers cost ~10-13 ns PER INDEX regardless of row width, so
+    at 2M entries that alignment was ~100 ms/step — measured round 2,
+    see DESIGN.md §7. Index count is the only thing that matters.)
+  * tiles walk their UNALIGNED entry span [lo, hi): the kernel DMAs the
+    aligned enclosing chunks and masks out-of-span lanes. A chunk on a
+    tile boundary is streamed by both neighbors (at most one extra chunk
+    per tile).
   * the grid is one program per tile slot, executed sequentially on the
     TensorCore: each tile walks only ITS OWN chunk count (a dynamic trip
     count on the scalar core), so total work is sum(entries) instead of
@@ -18,10 +25,12 @@ Design (why it beats the pure-JAX path):
   * the backward re-walks front-to-back, reconstructing each entry's
     incoming transmittance and the "color contributed after me" term as
     ``colors_out - running_prefix`` — no back-to-front pass, no divisions
-    by tiny transmittances, no atomics: each entry's gradients are written
-    exactly once to its chunk slot in d_payload, and a single segment-sum
-    scatters entry grads back to Gaussians (padding entries carry a
-    sentinel id that segment_sum drops).
+    by tiny transmittances, no atomics. Gradients land in a d_payload
+    array of the same compact layout; the one chunk shared with the
+    PREVIOUS tile is read-modify-written (the sequential grid makes that
+    race-free), every other chunk is written exactly once. A single
+    segment-sum over ``gauss_ids`` scatters entry grads back to Gaussians
+    (positions past the true entry count get a sentinel id and drop).
 
 In-kernel orientation: pixels on sublanes (P = tile_h*tile_w rows),
 entries on lanes (CHUNK = 128 cols). Alpha/transmittance prefix products
@@ -101,12 +110,12 @@ def _pixel_grid(px0, py0, tile_w: int, tile_h: int):
     return px, py
 
 
-def _chunk_alpha(chunk, px, py, c, max_per_tile):
+def _chunk_alpha(chunk, px, py, lane_keep):
     """Alpha (P, K) of one payload chunk with the reference skip rules.
 
-    chunk: (16, K) attribute rows; px/py: (P, 1); entries at global
-    position >= max_per_tile within the tile are dropped (exact parity
-    with the JAX path's per-tile cap).
+    chunk: (16, K) attribute rows; px/py: (P, 1); ``lane_keep`` (1, K)
+    masks lanes outside this tile's [lo, hi_eff) span (compact layout:
+    a chunk may carry neighbors' entries and max_per_tile-capped tails).
     """
     x = chunk[0:1, :]          # (1, K)
     y = chunk[1:2, :]
@@ -118,14 +127,19 @@ def _chunk_alpha(chunk, px, py, c, max_per_tile):
     dy = py - y
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     alpha = jnp.minimum(ALPHA_CLAMP, op * jnp.exp(power))
-    epos = c * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & (epos < max_per_tile)
+    keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & lane_keep
     return jnp.where(keep, alpha, 0.0), dx, dy, power
 
 
+def _span_lane_keep(q, lo, hi_eff):
+    """(1, CHUNK) mask of lanes of global chunk q inside [lo, hi_eff)."""
+    epos = q * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    return (epos >= lo) & (epos < hi_eff)
+
+
 def _fwd_kernel(
-    chunk_lo_ref, n_chunks_ref, px0_ref, py0_ref,   # scalar prefetch
-    payload_hbm,                       # (total_chunks, 16, CHUNK) ANY
+    tile_off_ref, px0_ref, py0_ref,    # scalar prefetch
+    payload_hbm,                       # (cap/CHUNK, 16, CHUNK) ANY
     color_out,                         # (1, P, 4) VMEM block
     t_out,                             # (1, P, 1) VMEM block
     chunk_vmem, sem,                   # scratch
@@ -133,13 +147,16 @@ def _fwd_kernel(
 ):
     t = pl.program_id(0)
     p = tile_w * tile_h
-    lo = chunk_lo_ref[t]
-    n_chunks = jnp.minimum(n_chunks_ref[t], -(-max_per_tile // CHUNK))
+    lo = tile_off_ref[t]
+    hi = tile_off_ref[t + 1]
+    hi_eff = jnp.minimum(hi, lo + max_per_tile)
+    c0 = lo // CHUNK
+    n_chunks = jnp.where(hi_eff > lo, (hi_eff + CHUNK - 1) // CHUNK - c0, 0)
     px, py = _pixel_grid(px0_ref[t], py0_ref[t], tile_w, tile_h)
 
     def in_copy(c):
         return pltpu.make_async_copy(
-            payload_hbm.at[lo + c], chunk_vmem.at[c % 2], sem.at[c % 2])
+            payload_hbm.at[c0 + c], chunk_vmem.at[c % 2], sem.at[c % 2])
 
     @pl.when(n_chunks > 0)
     def _():
@@ -154,7 +171,8 @@ def _fwd_kernel(
 
         in_copy(c).wait()
         chunk = chunk_vmem[c % 2]
-        alpha, _, _, _ = _chunk_alpha(chunk, px, py, c, max_per_tile)       # (P, K)
+        lane_keep = _span_lane_keep(c0 + c, lo, hi_eff)
+        alpha, _, _, _ = _chunk_alpha(chunk, px, py, lane_keep)   # (P, K)
         one_minus = 1.0 - alpha                            # >= 0.01
         cump = _cumprod_lanes(one_minus)
         t_after = t_in * cump                              # (P, K)
@@ -195,19 +213,29 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    chunk_lo_ref, n_chunks_ref, px0_ref, py0_ref,   # scalar prefetch
-    payload_hbm,                       # (total_chunks, 16, CHUNK) ANY
+    tile_off_ref, px0_ref, py0_ref,    # scalar prefetch
+    payload_hbm,                       # (cap/CHUNK, 16, CHUNK) ANY
     aux_ref,                           # (1, P, 8) VMEM: [c_total(3), g(3),
                                        #  T_fin*dT(1), pad(1)] per pixel
-    d_payload_hbm,                     # (total_chunks, 16, CHUNK) ANY out
-    chunk_vmem, dchunk_vmem, sem, sem_out,
+    d_payload_hbm,                     # (cap/CHUNK, 16, CHUNK) ANY out
+    chunk_vmem, dchunk_vmem, prev_vmem, sem, sem_out, sem_prev,
     *, tile_w: int, tile_h: int, max_per_tile: int,
 ):
     t = pl.program_id(0)
     p = tile_w * tile_h
-    lo = chunk_lo_ref[t]
-    n_chunks = jnp.minimum(n_chunks_ref[t], -(-max_per_tile // CHUNK))
+    lo = tile_off_ref[t]
+    hi = tile_off_ref[t + 1]
+    hi_eff = jnp.minimum(hi, lo + max_per_tile)
+    c0 = lo // CHUNK
+    # the tile must WRITE every chunk its span [lo, hi) touches (zeros for
+    # capped/early-exited entries), so the next tile's read-modify-write of
+    # the shared boundary chunk always reads initialized memory
+    n_chunks_full = jnp.where(hi > lo, (hi + CHUNK - 1) // CHUNK - c0, 0)
+    n_chunks = jnp.where(hi_eff > lo,
+                         (hi_eff + CHUNK - 1) // CHUNK - c0, 0)
     px, py = _pixel_grid(px0_ref[t], py0_ref[t], tile_w, tile_h)
+    # does chunk c0 carry a previous tile's entries? then accumulate into it
+    shared_head = (lo % CHUNK) != 0
 
     aux = aux_ref[0]                   # (P, 8)
     ct_r = aux[:, 0:1]
@@ -222,26 +250,28 @@ def _bwd_kernel(
 
     def in_copy(c):
         return pltpu.make_async_copy(
-            payload_hbm.at[lo + c], chunk_vmem.at[c % 2], sem.at[c % 2])
+            payload_hbm.at[c0 + c], chunk_vmem.at[c % 2], sem.at[c % 2])
 
     def out_copy(c):
         return pltpu.make_async_copy(
-            dchunk_vmem.at[c % 2], d_payload_hbm.at[lo + c], sem_out.at[c % 2])
+            dchunk_vmem.at[c % 2], d_payload_hbm.at[c0 + c],
+            sem_out.at[c % 2])
 
-    @pl.when(n_chunks > 0)
+    prev_copy = pltpu.make_async_copy(
+        d_payload_hbm.at[c0], prev_vmem, sem_prev)
+
+    @pl.when(n_chunks_full > 0)
     def _():
         in_copy(0).start()
 
-    def body(carry):
-        c, t_in, s_pref = carry        # (), (P, 1), (P, 1)
-        # double buffering: prefetch chunk c+1 while differentiating chunk c
-        @pl.when(c + 1 < n_chunks)
-        def _():
-            in_copy(c + 1).start()
+    @pl.when(shared_head & (n_chunks_full > 0))
+    def _():
+        prev_copy.start()
 
-        in_copy(c).wait()
+    def grads_of_chunk(c, t_in, s_pref):
         chunk = chunk_vmem[c % 2]
-        alpha, dx, dy, power = _chunk_alpha(chunk, px, py, c, max_per_tile)
+        lane_keep = _span_lane_keep(c0 + c, lo, hi_eff)
+        alpha, dx, dy, power = _chunk_alpha(chunk, px, py, lane_keep)
         one_minus = 1.0 - alpha                            # >= 0.01
         cump = _cumprod_lanes(one_minus)
         t_after = t_in * cump
@@ -284,22 +314,45 @@ def _bwd_kernel(
              jnp.sum(w * g_g, axis=0, keepdims=True),
              jnp.sum(w * g_b, axis=0, keepdims=True)], axis=0)   # (3, K)
 
-        # drain the out-copy that used this slot two iterations ago before
-        # overwriting the buffer; remaining copies drain after the loop
-        @pl.when(c >= 2)
-        def _():
-            out_copy(c - 2).wait()
-
-        dchunk_vmem[c % 2] = jnp.concatenate(
+        d_chunk = jnp.concatenate(
             [d_x, d_y, d_ca, d_cb, d_cc, d_rgb, d_o,
              jnp.zeros((PAYLOAD_W - 9, CHUNK), jnp.float32)],
             axis=0,
         )
-        out_copy(c).start()
-
         t_in = jnp.min(jnp.where(include, t_after, t_in), axis=1,
                        keepdims=True)
         s_pref = s_pref + jnp.sum(wc, axis=1, keepdims=True)
+        return d_chunk, t_in, s_pref
+
+    def emit(c, d_chunk):
+        """Stage d_chunk for writing out chunk c (accumulating the previous
+        tile's partial grads into the shared head chunk)."""
+        # drain the out-copy that used this slot two iterations ago
+        @pl.when(c >= 2)
+        def _():
+            out_copy(c - 2).wait()
+
+        @pl.when(shared_head & (c == 0))
+        def _():
+            prev_copy.wait()
+
+        dchunk_vmem[c % 2] = jnp.where(
+            shared_head & (c == 0), d_chunk + prev_vmem[...], d_chunk)
+        out_copy(c).start()
+
+    def body(carry):
+        c, t_in, s_pref = carry
+        # double buffering: prefetch chunk c+1 while differentiating chunk c
+        # (bound by the WALK count n_chunks, not n_chunks_full: the fill
+        # loop never consumes payload, and a prefetch the loop exit leaves
+        # un-waited would leak its semaphore into the next grid step)
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            in_copy(c + 1).start()
+
+        in_copy(c).wait()
+        d_chunk, t_in, s_pref = grads_of_chunk(c, t_in, s_pref)
+        emit(c, d_chunk)
         return c + 1, t_in, s_pref
 
     def cond(carry):
@@ -312,41 +365,31 @@ def _bwd_kernel(
             jnp.zeros((p, 1), jnp.float32))
     c_stop, _, _ = jax.lax.while_loop(cond, body, init)
 
-    # Drain the input prefetch a saturation early-exit left in flight (see
-    # the forward kernel for the full rationale) — without this the stale
-    # semaphore signal corrupts the next grid step's first chunk read.
+    # Drain the input prefetch a saturation early-exit left in flight —
+    # without this the stale semaphore signal corrupts the next grid
+    # step's first chunk read.
     @pl.when((c_stop < n_chunks) & (c_stop > 0))
     def _():
         in_copy(c_stop).wait()
 
-    @pl.when(c_stop >= 2)
-    def _():
-        out_copy(c_stop - 2).wait()
-
-    @pl.when(c_stop >= 1)
-    def _():
-        out_copy(c_stop - 1).wait()
-
     # zero-fill every chunk of this tile's span the walk did not write:
     # early-exit-skipped chunks AND chunks beyond the max_per_tile cap
     # (entries there were never included, so their gradients are exactly
-    # zero). Writing them here lets the caller skip the whole
-    # unvisited-region masking pass.
-    n_chunks_full = n_chunks_ref[t]
-    @pl.when(c_stop < n_chunks_full)
+    # zero; the shared head chunk still accumulates the neighbor's grads).
+    def fill(c, _):
+        emit(c, jnp.zeros((PAYLOAD_W, CHUNK), jnp.float32))
+        return 0
+
+    jax.lax.fori_loop(c_stop, n_chunks_full, fill, 0)
+
+    n_emitted = jnp.maximum(n_chunks_full, c_stop)
+    @pl.when(n_emitted >= 2)
     def _():
-        dchunk_vmem[0] = jnp.zeros((PAYLOAD_W, CHUNK), jnp.float32)
-        dchunk_vmem[1] = jnp.zeros((PAYLOAD_W, CHUNK), jnp.float32)
+        out_copy(n_emitted - 2).wait()
 
-        def fill(c, _):
-            cp = pltpu.make_async_copy(
-                dchunk_vmem.at[c % 2], d_payload_hbm.at[lo + c],
-                sem_out.at[c % 2])
-            cp.start()
-            cp.wait()
-            return 0
-
-        jax.lax.fori_loop(c_stop, n_chunks_full, fill, 0)
+    @pl.when(n_emitted >= 1)
+    def _():
+        out_copy(n_emitted - 1).wait()
 
 
 # --------------------------------------------------------------------------
@@ -354,68 +397,38 @@ def _bwd_kernel(
 # --------------------------------------------------------------------------
 
 
-def _align_entries(gauss_ids: Array, tile_offsets: Array, sentinel: int):
-    """CHUNK-align each tile's entry span.
+def _build_payload(means2d, conics, colors, opacities, gauss_ids):
+    """(cap/CHUNK, 16, CHUNK) compact chunked payload.
 
-    Returns (ids2 ((total_chunks*CHUNK),), chunk_lo (T,), n_chunks (T,)).
-    Padding entries get ``sentinel`` as their Gaussian id (dropped by
-    segment_sum). total_chunks is static: capacity/CHUNK + T.
+    ONE row gather of ``capacity`` indices from a pre-packed (N, 16) table
+    — gathers are per-index-bound on TPU (~10-13 ns/idx), so packing the
+    row first makes its width free and the index count minimal.
     """
-    t_slots = tile_offsets.shape[0] - 1
-    cap = gauss_ids.shape[0]
-    n = tile_offsets[1:] - tile_offsets[:-1]                # (T,)
-    n_chunks = -(-n // CHUNK)
-    chunk_lo = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(n_chunks)]).astype(jnp.int32)
-    total_chunks = cap // CHUNK + t_slots                   # static bound
-    # per-CHUNK bookkeeping, expanded to per-entry by broadcasting over the
-    # lane axis. tile_of via boundary counting (scatter + cumsum) — an
-    # in-context searchsorted here gets scalarized by XLA (S(1) placement,
-    # ~27ms at this size; see DESIGN.md §7 profiling notes)
-    qc = jnp.arange(total_chunks, dtype=jnp.int32)
-    hist = jnp.zeros((total_chunks,), jnp.int32).at[
-        chunk_lo[1:t_slots]].add(1, mode="drop")
-    tile_of = jnp.cumsum(hist)
-    lane = jnp.arange(CHUNK, dtype=jnp.int32)
-    i = (qc - chunk_lo[tile_of])[:, None] * CHUNK + lane[None, :]  # (TC, K)
-    valid = (qc < chunk_lo[t_slots])[:, None] & (i < n[tile_of][:, None])
-    src = jnp.clip(tile_offsets[tile_of][:, None] + i, 0, cap - 1)
-    ids2 = jnp.where(valid, gauss_ids[src.reshape(-1)].reshape(src.shape),
-                     sentinel).astype(jnp.int32).reshape(-1)
-    return ids2, chunk_lo[:-1], n_chunks.astype(jnp.int32)
-
-
-def _build_payload(means2d, conics, colors, opacities, ids2):
-    """(total_chunks, 16, CHUNK) chunked payload from aligned entry ids."""
     n = means2d.shape[0]
-    ok = ids2 < n
-    ids_c = jnp.clip(ids2, 0, n - 1)
-    cols = jnp.concatenate(
+    cap = gauss_ids.shape[0]
+    table = jnp.concatenate(
         [
-            means2d[ids_c],
-            conics[ids_c],
-            colors[ids_c],
-            opacities[ids_c][:, None],
-            jnp.zeros((ids2.shape[0], PAYLOAD_W - 9), jnp.float32),
+            means2d, conics, colors, opacities[:, None],
+            jnp.zeros((n, PAYLOAD_W - 9), jnp.float32),
         ],
         axis=-1,
-    )
-    cols = jnp.where(ok[:, None], cols, 0.0)
-    total_chunks = ids2.shape[0] // CHUNK
-    return cols.reshape(total_chunks, CHUNK, PAYLOAD_W).transpose(0, 2, 1)
+    )                                                     # (N, 16)
+    ok = gauss_ids < n
+    ids_c = jnp.clip(gauss_ids, 0, n - 1)
+    rows = jnp.where(ok[:, None], table[ids_c], 0.0)      # (cap, 16)
+    return rows.reshape(cap // CHUNK, CHUNK, PAYLOAD_W).transpose(0, 2, 1)
 
 
-def _fwd_impl(gathered, ids2, chunk_lo, n_chunks, slot_px0, slot_py0,
+def _fwd_impl(gathered, gauss_ids, tile_offsets, slot_px0, slot_py0,
               tile_w, tile_h, max_per_tile, interpret):
     payload = _build_payload(
         gathered["means2d"], gathered["conics"], gathered["colors"],
-        gathered["opacities"], ids2)
+        gathered["opacities"], gauss_ids)
     t_slots = slot_px0.shape[0]
     p = tile_w * tile_h
-    max_chunks = -(-max_per_tile // CHUNK)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(t_slots,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
@@ -439,38 +452,39 @@ def _fwd_impl(gathered, ids2, chunk_lo, n_chunks, slot_px0, slot_py0,
             jax.ShapeDtypeStruct((t_slots, p, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(chunk_lo, n_chunks, slot_px0, slot_py0, payload)
+    )(tile_offsets, slot_px0, slot_py0, payload)
     t_fin = t_fin[:, :, 0]
     colors_pix = colors4[:, :, :3]               # (T, P, 3)
     out = (colors_pix, t_fin)
     return out, (payload, colors_pix, t_fin)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _rasterize_core(
-    gathered, ids2, chunk_lo, n_chunks, slot_px0, slot_py0,
+    gathered, gauss_ids, tile_offsets, slot_px0, slot_py0,
     tile_w, tile_h, max_per_tile, interpret, num_gaussians,
 ):
-    out, _ = _fwd_impl(gathered, ids2, chunk_lo, n_chunks, slot_px0,
+    out, _ = _fwd_impl(gathered, gauss_ids, tile_offsets, slot_px0,
                        slot_py0, tile_w, tile_h, max_per_tile, interpret)
     return out
 
 
-def _core_fwd(gathered, ids2, chunk_lo, n_chunks, slot_px0, slot_py0,
+def _core_fwd(gathered, gauss_ids, tile_offsets, slot_px0, slot_py0,
               tile_w, tile_h, max_per_tile, interpret, num_gaussians):
     out, (payload, colors_pix, t_fin) = _fwd_impl(
-        gathered, ids2, chunk_lo, n_chunks, slot_px0, slot_py0,
+        gathered, gauss_ids, tile_offsets, slot_px0, slot_py0,
         tile_w, tile_h, max_per_tile, interpret)
     # store the payload itself: rebuilding it in the backward re-runs the
-    # 2.6M-row gathers, which XLA scalarizes in the transpose context
-    # (~140ms/step measured; residual memory is the cheaper trade)
-    return out, (payload, colors_pix, t_fin, ids2, chunk_lo, n_chunks,
+    # capacity-sized gather, and gathers in a VJP/transpose context get
+    # scalarized by XLA (~140ms/step measured); residual memory is the
+    # cheaper trade
+    return out, (payload, colors_pix, t_fin, gauss_ids, tile_offsets,
                  slot_px0, slot_py0)
 
 
 def _core_bwd(tile_w, tile_h, max_per_tile, interpret, num_gaussians,
               res, cotangents):
-    payload, colors_pix, t_fin, ids2, chunk_lo, n_chunks, px0, py0 = res
+    payload, colors_pix, t_fin, gauss_ids, tile_offsets, px0, py0 = res
     g_colors, g_t = cotangents              # (T, P, 3), (T, P)
     t_slots = px0.shape[0]
     p = tile_w * tile_h
@@ -486,7 +500,7 @@ def _core_bwd(tile_w, tile_h, max_per_tile, interpret, num_gaussians,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(t_slots,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -497,8 +511,10 @@ def _core_bwd(tile_w, tile_h, max_per_tile, interpret, num_gaussians,
         scratch_shapes=[
             pltpu.VMEM((2, PAYLOAD_W, CHUNK), jnp.float32),
             pltpu.VMEM((2, PAYLOAD_W, CHUNK), jnp.float32),
+            pltpu.VMEM((PAYLOAD_W, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     kernel = functools.partial(
@@ -508,15 +524,18 @@ def _core_bwd(tile_w, tile_h, max_per_tile, interpret, num_gaussians,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(payload.shape, jnp.float32)],
         interpret=interpret,
-    )(chunk_lo, n_chunks, px0, py0, payload, aux)[0]
+    )(tile_offsets, px0, py0, payload, aux)[0]
 
-    # The kernel zero-fills every unwalked chunk inside each tile's span, so
-    # the only region with undefined values is the static slack beyond the
-    # last tile's span — whose entries carry the sentinel segment id and are
-    # dropped by segment_sum. No masking pass needed.
+    # Every chunk inside some tile's span was written by the kernel; the
+    # only rows with undefined values are entry positions past the true
+    # total (tile_offsets[-1]) — their segment ids get the sentinel below
+    # and segment_sum drops them. No masking pass needed.
     d_entries = d_payload.transpose(0, 2, 1).reshape(-1, PAYLOAD_W)
+    cap = gauss_ids.shape[0]
+    in_span = jnp.arange(cap, dtype=jnp.int32) < tile_offsets[-1]
+    seg_ids = jnp.where(in_span, gauss_ids, num_gaussians)
 
-    d_all = jax.ops.segment_sum(d_entries, segment_ids=ids2,
+    d_all = jax.ops.segment_sum(d_entries, segment_ids=seg_ids,
                                 num_segments=num_gaussians)
     d_gathered = {
         "means2d": d_all[:, 0:2],
@@ -524,7 +543,7 @@ def _core_bwd(tile_w, tile_h, max_per_tile, interpret, num_gaussians,
         "colors": d_all[:, 5:8],
         "opacities": d_all[:, 8],
     }
-    return (d_gathered, None, None, None, None, None)
+    return (d_gathered, None, None, None, None)
 
 
 _rasterize_core.defvjp(_core_fwd, _core_bwd)
@@ -539,10 +558,9 @@ def rasterize_slots_pl(
     """Pallas-backed tile blending; same contract as rasterize_slots.
 
     ``chunk`` is accepted for API parity but the kernel always uses
-    CHUNK=128 (the TPU lane width).
+    CHUNK=128 (the TPU lane width). ``gauss_ids`` must be CHUNK-divisible
+    in length (isect capacities are powers of two >= 2^14, so they are).
     """
-    n = means2d.shape[0]
-    ids2, chunk_lo, n_chunks = _align_entries(gauss_ids, tile_offsets, n)
     gathered = {
         "means2d": means2d,
         "conics": conics,
@@ -550,7 +568,7 @@ def rasterize_slots_pl(
         "opacities": opacities,
     }
     return _rasterize_core(
-        gathered, ids2, chunk_lo, n_chunks,
+        gathered, gauss_ids, tile_offsets.astype(jnp.int32),
         slot_px0.astype(jnp.int32), slot_py0.astype(jnp.int32),
-        tile_w, tile_h, max_per_tile, interpret, n,
+        tile_w, tile_h, max_per_tile, interpret, means2d.shape[0],
     )
