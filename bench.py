@@ -11,6 +11,7 @@ is our it/s over that. A synthetic scene keeps the benchmark hermetic
 (no dataset download) while matching the real per-iteration tensor shapes.
 """
 
+import argparse
 import json
 import time
 
@@ -18,6 +19,10 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bsz", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=30)
+    a = ap.parse_args()
     import jax
     import jax.numpy as jnp
     from grendel_tpu.cameras import batch_camera_arrays
@@ -34,8 +39,8 @@ def main():
     n_live = 200_000
     capacity = 262_144
     sh_degree = 3
-    bsz = 1
-    steps_measured = 30
+    bsz = a.bsz
+    steps_measured = a.steps
 
     key = jax.random.key(0)
     means, scales, quats, opac, sh = random_gaussians(
@@ -60,11 +65,35 @@ def main():
     alive = jnp.arange(capacity) < n_live
 
     backend = "pallas" if jax.default_backend() == "tpu" else "jax"
-    cfg = RenderConfig(img_h=h, img_w=w, isect_capacity=1 << 21,
-                       max_per_tile=1024, chunk=64, backend=backend)
     cams_host = [make_test_camera(w, h, dist=5.0, angle=0.1 * i)
                  for i in range(bsz)]
     cams = batch_camera_arrays(cams_host)
+
+    # steady-state entry-buffer capacity, sized exactly the way the
+    # trainer's telemetry auto-tuner converges: 1.3x headroom over the
+    # measured true intersection count, rounded up to a 1/8-pow2 mantissa
+    # step (engine/trainer.py:_isect_cap_target) — every per-index hot-path
+    # op scales with capacity, so benchmarking an oversized pow2 buffer
+    # would misstate the tuned steady state
+    from grendel_tpu.cameras import camera_arrays
+    from grendel_tpu.ops.isect import isect_tiles
+    from grendel_tpu.ops.projection import project_gaussians
+    ca0 = camera_arrays(cams_host[0])
+    probe = jax.jit(lambda p: isect_tiles(
+        *(lambda s: (s.means2d, s.radii, s.depths))(project_gaussians(
+            p.means3d, jnp.exp(p.scales_raw), p.quats,
+            jax.nn.sigmoid(p.opacities_raw),
+            jnp.concatenate([p.sh_dc, p.sh_rest], axis=1), alive,
+            ca0.viewmat, ca0.full_proj, ca0.campos, ca0.tanfov,
+            h, w, sh_degree)),
+        16, 16, -(-w // 16), -(-h // 16), 1 << 22))
+    n_isect = int(probe(params).num_isects)
+    n = max(int(1.3 * n_isect), 1 << 14)
+    k = max(int(np.floor(np.log2(n))) - 3, 7)
+    isect_cap = -(-n // (1 << k)) << k
+
+    cfg = RenderConfig(img_h=h, img_w=w, isect_capacity=isect_cap,
+                       max_per_tile=1024, chunk=64, backend=backend)
     rng = np.random.default_rng(0)
     gt_u8 = jnp.asarray(
         rng.integers(0, 255, (bsz, 3, h, w), dtype=np.uint8))
@@ -90,10 +119,13 @@ def main():
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
 
-    it_per_s = steps_measured / dt
+    # per-image throughput: one step consumes bsz images (the reference
+    # counts bsz iterations per optimizer step in its bsz>1 configs)
+    it_per_s = steps_measured * bsz / dt
     baseline_it_per_s = 30000 / (30.15 * 60)   # garden, 1xA100 (BASELINE.md)
+    suffix = "" if bsz == 1 else f"_bsz{bsz}"
     print(json.dumps({
-        "metric": "train_step_throughput_garden4_200k",
+        "metric": f"train_step_throughput_garden4_200k{suffix}",
         "value": round(it_per_s, 3),
         "unit": "iter/s",
         "vs_baseline": round(it_per_s / baseline_it_per_s, 3),

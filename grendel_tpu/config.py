@@ -42,7 +42,7 @@ class PipelineConfig:
     tile_w: int = 16
     tile_h: int = 16
     # (tpu) static capacities for the isect entry list / per-tile walk.
-    isect_capacity_factor: float = 8.0   # capacity = factor * N (re-tuned on overflow)
+    isect_capacity_factor: float = 8.0   # initial guess: capacity = factor * N until telemetry sizes it
     max_per_tile: int = 2048             # per-tile blend depth cutoff
     chunk: int = 64                      # gaussians blended per scan step
     # rasterizer backend: "auto" = pallas on TPU, jax elsewhere (the two

@@ -38,7 +38,15 @@ class RenderConfig(NamedTuple):
     isect_capacity: int = 1 << 18
     max_per_tile: int = 2048
     chunk: int = 64
-    backend: str = "jax"   # "jax" | "pallas" (TPU kernel)
+    backend: str = "jax"   # "jax" | "pallas" | "pallas_interpret" (tests)
+
+    @property
+    def use_pallas(self) -> bool:
+        return self.backend.startswith("pallas")
+
+    @property
+    def pallas_interpret(self) -> bool:
+        return self.backend == "pallas_interpret"
 
     @property
     def tiles_x(self) -> int:
@@ -65,7 +73,7 @@ def render_splats(
         cfg.tile_w, cfg.tile_h, cfg.tiles_x, cfg.tiles_y,
         capacity=cfg.isect_capacity,
     )
-    if cfg.backend == "pallas":
+    if cfg.use_pallas:
         return _rasterize_tiles_pallas(splats, isect, cfg, bg, tile_mask)
     return rasterize_tiles(
         splats, isect, cfg.img_h, cfg.img_w,
@@ -92,6 +100,7 @@ def _rasterize_tiles_pallas(splats, isect, cfg: RenderConfig, bg, tile_mask):
         splats.means2d, splats.conics, splats.colors, splats.opacities,
         isect.gauss_ids, isect.tile_offsets, slot_px0, slot_py0,
         cfg.tile_w, cfg.tile_h, cfg.max_per_tile,
+        interpret=cfg.pallas_interpret,
     )
     if tile_mask is not None:
         colors = colors * tile_mask[:, None, None]
@@ -134,6 +143,82 @@ def render_image(
     return render_splats(splats, cfg, bg=bg, tile_mask=tile_mask)
 
 
+def _render_batch_rowslots(act, alive, cams, sh_degree, cfg: RenderConfig,
+                           bg, means2d_tap):
+    """Whole-batch rasterization on the row-slot formulation.
+
+    pallas_call + scalar prefetch doesn't compose with vmap, and unrolling
+    the camera batch paid per-camera isect + kernel overheads (the
+    reference's bsz>1 win comes precisely from batching the tile lists:
+    SURVEY.md §2.2 flattened (camera, tile-row) axis). Instead, flatten the
+    batch into one (B*N) entry universe and one slot space of
+    B * tiles_y * tiles_x tiles — a single isect + a single kernel launch.
+    The entry list is camera-BLOCKED (cfg.isect_capacity entries per
+    camera, static offsets): each camera keeps its own overflow budget and
+    the backward's Gaussian-gradient reduction runs per-camera scatters
+    into small accumulators (XLA's TPU scatter falls off a ~10x cliff
+    above ~16MB of accumulator — the flat layout paid that at every
+    bsz >= 2).
+    """
+    from ..ops.isect import isect_tile_rows_blocked
+    from ..ops.rasterize_pallas import rasterize_slots_pl
+
+    if bg is None:
+        bg = jnp.zeros(3, dtype=jnp.float32)
+    b = cams.viewmat.shape[0]
+    n = act.means3d.shape[0]
+    tiles_x, tiles_y = cfg.tiles_x, cfg.tiles_y
+
+    def proj(vm, fp, cp, tf):
+        return project_gaussians(
+            act.means3d, act.scales, act.quats, act.opacities, act.sh,
+            alive, vm, fp, cp, tf, cfg.img_h, cfg.img_w, sh_degree,
+        )
+
+    splats = jax.vmap(proj)(cams.viewmat, cams.full_proj, cams.campos,
+                            cams.tanfov)
+    if means2d_tap is not None:
+        splats = splats._replace(means2d=splats.means2d + means2d_tap)
+
+    flat = jax.tree.map(lambda x: x.reshape((b * n,) + x.shape[2:]), splats)
+    r = b * tiles_y
+    isect = isect_tile_rows_blocked(
+        flat.means2d, flat.radii, flat.depths, b,
+        cfg.tile_w, cfg.tile_h, tiles_x, tiles_y,
+        capacity=b * cfg.isect_capacity,
+    )
+
+    s = jnp.arange(r * tiles_x, dtype=jnp.int32)
+    px0 = (s % tiles_x) * cfg.tile_w
+    py0 = ((s // tiles_x) % tiles_y) * cfg.tile_h
+    colors, t_final = rasterize_slots_pl(
+        flat.means2d, flat.conics, flat.colors, flat.opacities,
+        isect.gauss_ids, None, px0, py0,
+        cfg.tile_w, cfg.tile_h, cfg.max_per_tile,
+        interpret=cfg.pallas_interpret,
+        tile_lo=isect.tile_lo, tile_hi=isect.tile_hi, seg_blocks=b,
+    )
+    colors = colors + t_final[..., None] * bg[None, None, :]
+
+    th, tw = cfg.tile_h, cfg.tile_w
+    img = colors.reshape(b, tiles_y, tiles_x, th, tw, 3)
+    img = img.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, tiles_y * th, tiles_x * tw, 3)
+    img = img[:, : cfg.img_h, : cfg.img_w].transpose(0, 3, 1, 2)
+    tmap = t_final.reshape(b, tiles_y, tiles_x, th, tw)
+    tmap = tmap.transpose(0, 1, 3, 2, 4).reshape(
+        b, tiles_y * th, tiles_x * tw)
+    tmap = tmap[:, : cfg.img_h, : cfg.img_w]
+    n_entries = (isect.tile_hi - isect.tile_lo).reshape(
+        b, tiles_y * tiles_x)
+    aux = RenderAux(
+        final_t=tmap,
+        n_entries=n_entries,
+        num_isects=jnp.broadcast_to(isect.num_isects, (b,)),
+    )
+    return img, splats, aux
+
+
 def render_batch(
     params: GaussianParams,
     alive: Array,
@@ -165,17 +250,9 @@ def render_batch(
         img, aux = render_splats(splats, cfg, bg=bg)
         return img, splats, aux
 
-    if cfg.backend == "pallas":
-        # pallas_call + scalar prefetch doesn't compose with vmap; unroll
-        # the (small, static) camera batch instead
-        b = cams.viewmat.shape[0]
-        outs = [
-            one(cams.viewmat[i], cams.full_proj[i], cams.campos[i],
-                cams.tanfov[i],
-                None if means2d_tap is None else means2d_tap[i])
-            for i in range(b)
-        ]
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+    if cfg.use_pallas:
+        return _render_batch_rowslots(act, alive, cams, sh_degree, cfg,
+                                      bg, means2d_tap)
     if means2d_tap is None:
         fn = lambda vm, fp, cp, tf: one(vm, fp, cp, tf, None)
         return jax.vmap(fn)(cams.viewmat, cams.full_proj, cams.campos, cams.tanfov)

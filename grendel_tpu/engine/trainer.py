@@ -71,6 +71,18 @@ class Trainer:
         # measured to OOM a 16GB chip at bsz=4 (payload+grad+align buffers
         # plus the model), 2^22 runs
         self.isect_capacity_ceiling = 1 << 22
+        # decayed peak of observed true intersection counts: the capacity
+        # picker sizes the entry buffer from THIS, not from a static
+        # factor*N guess — every per-index op on the hot path (payload
+        # gather, tile sort, segment-sum) scales with capacity, and a 2x
+        # oversized buffer was measured at ~35ms/step at garden scale
+        self._isect_peak = 0.0
+        self._isect_shrink_checks = 0
+        # the capacity actually compiled with: changes ONLY at the
+        # grow/shrink trigger points in _check_capacity_telemetry (the
+        # target itself drifts with the decayed peak, and following it
+        # step-by-step would recompile at every mantissa-step crossing)
+        self._isect_cap_current: int | None = None
         # pixel parallelism off (or local_sampling): whole images per device
         self._whole_image_division = (
             self.n_devices > 1
@@ -189,23 +201,38 @@ class Trainer:
             lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
             state, specs)
 
+    def _isect_cap_target(self) -> int:
+        """Entry-buffer capacity target: 1.3x headroom over the decayed
+        observed peak intersection count, rounded up to a 1/8-power-of-two
+        mantissa step (>= multiple of 128 for the Pallas CHUNK). Before any
+        telemetry, fall back to isect_capacity_factor * n_local. Pow2
+        doubling wasted up to 2x on the capacity-proportional per-index
+        ops (gather/sort/segment-sum ~ 10-13ns per index on TPU)."""
+        p = self.cfg.pipeline
+        if self._isect_peak > 0:
+            target = 1.3 * self._isect_peak
+        else:
+            target = p.isect_capacity_factor * self.n_local
+        n = max(int(target), 1 << 14)
+        k = max(int(np.floor(np.log2(n))) - 3, 7)
+        cap = -(-n // (1 << k)) << k
+        if cap > self.isect_capacity_ceiling:
+            # the observed peak can exceed the measured HBM-safe bound
+            # (early-training giant-splat transient) — clamp so we never
+            # compile an OOM-sized entry buffer; overflow drops become
+            # attributable when the over-capacity log line fires.
+            cap = self.isect_capacity_ceiling
+        return cap
+
+    def _isect_cap(self) -> int:
+        if self._isect_cap_current is None:
+            self._isect_cap_current = self._isect_cap_target()
+        return self._isect_cap_current
+
     def _parallel_cfg(self, bsz: int) -> ParallelConfig:
         p = self.cfg.pipeline
         n_loc = self.n_local
-        # per-device entry-list budget: ~isect_capacity_factor entries per
-        # local-shard slot; overflow shows up in the num_isects metric.
-        isect_cap = 1 << max(
-            14, int(np.ceil(np.log2(p.isect_capacity_factor * n_loc))))
-        if isect_cap > self.isect_capacity_ceiling:
-            # capacity growth can push factor*n_local past the measured
-            # HBM-safe bound even when the telemetry tuner stopped doubling
-            # the factor — clamp so a grown shard never recompiles an
-            # OOM-sized entry buffer; overflow drops become attributable
-            # via this log line.
-            self._log(
-                f"isect capacity clamped to ceiling "
-                f"{self.isect_capacity_ceiling} (wanted {isect_cap})")
-            isect_cap = self.isect_capacity_ceiling
+        isect_cap = self._isect_cap()
         backend = p.backend
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "jax"
@@ -232,7 +259,7 @@ class Trainer:
         ).resolved(n_loc)
 
     def _trainer(self, sh_degree: int) -> ShardedTrainer:
-        key = (sh_degree, self.n_local)
+        key = (sh_degree, self.n_local, self._isect_cap())
         if key not in self._trainer_cache:
             self._trainer_cache[key] = ShardedTrainer(
                 self.mesh, self._parallel_cfg(self.cfg.dist.bsz),
@@ -616,14 +643,20 @@ class Trainer:
         they approach/exceed the static budgets, raise the factors so the
         next trainer (re)build compiles with more headroom."""
         num_isects = int(np.asarray(metrics["num_isects"]).max())
+        # decayed peak: follows growth instantly (num_isects is the TRUE
+        # count even when over capacity, so one recompile jumps straight to
+        # the right size — no doubling ladder), releases the early-training
+        # giant-splat transient slowly enough to avoid recompile thrash
+        self._isect_peak = max(float(num_isects), self._isect_peak * 0.995)
+        want = self._isect_cap_target()
         if (num_isects > 0.92 * pcfg.isect_capacity
-                and pcfg.isect_capacity < self.isect_capacity_ceiling):
-            self.cfg.pipeline.isect_capacity_factor *= 2.0
+                and want > pcfg.isect_capacity):
+            self._isect_cap_current = want
             self._trainer_cache.clear()
+            self._isect_shrink_checks = 0
             self._log(
                 f"isect near capacity ({num_isects}/{pcfg.isect_capacity}):"
-                f" doubling isect_capacity_factor -> "
-                f"{self.cfg.pipeline.isect_capacity_factor} (recompile)")
+                f" growing entry buffer -> {want} (recompile)")
         elif num_isects > pcfg.isect_capacity:
             # ceiling reached: excess (farthest) entries are dropped by the
             # isect stage — visually negligible during the early-training
@@ -631,6 +664,20 @@ class Trainer:
             self._log(
                 f"isect over capacity ({num_isects}/{pcfg.isect_capacity}) "
                 f"at the HBM ceiling; dropping farthest entries")
+        elif want < pcfg.isect_capacity / 1.4:
+            # sustained shrink opportunity: per-index hot-path ops scale
+            # with capacity, so one recompile pays for itself quickly
+            self._isect_shrink_checks += 1
+            if self._isect_shrink_checks >= 20:
+                self._isect_cap_current = want
+                self._trainer_cache.clear()
+                self._isect_shrink_checks = 0
+                self._log(
+                    f"isect capacity oversized "
+                    f"({num_isects}/{pcfg.isect_capacity}): shrinking "
+                    f"entry buffer -> {want} (recompile)")
+        else:
+            self._isect_shrink_checks = 0
         overflow = int(np.asarray(metrics["a2a_overflow"]).sum())
         if overflow > 0:
             self._a2a_factor = getattr(self, "_a2a_factor", 1.0) * 1.5

@@ -33,6 +33,22 @@ class TileIntersections(NamedTuple):
     num_isects: Array    # () int32 — true total (may exceed capacity => overflow)
 
 
+class BlockedTileIntersections(NamedTuple):
+    """Camera-blocked entry lists: camera c's entries live at static
+    positions [c*block, (c+1)*block) of the entry axis; invalid/padding
+    entries carry the sentinel Gaussian id (= universe size). Tile spans
+    are given as separate lo/hi arrays because the last tile of a camera
+    ends at the camera's valid-entry count, not at the next camera's
+    block start."""
+
+    gauss_ids: Array     # (capacity,) int32; sentinel = universe size
+    tile_lo: Array       # (num_slots,) int32
+    tile_hi: Array       # (num_slots,) int32
+    num_isects: Array    # () int32 — n_cams * max per-camera demand (so the
+                         # existing capacity tuner's compare-vs-capacity
+                         # logic sizes the binding per-camera constraint)
+
+
 def _segment_broadcast(values: Array, seg_starts: Array, capacity: int) -> Array:
     """Broadcast per-segment values over a flat entry axis without gathers.
 
@@ -144,6 +160,120 @@ def isect_tile_rows(
         gauss_ids=gid_sorted,
         tile_offsets=tile_offsets,
         num_isects=total.astype(jnp.int32),
+    )
+
+
+def isect_tile_rows_blocked(
+    means2d: Array,      # (B*N, 2) camera-major flat batch
+    radii: Array,        # (B*N,) int32, 0 = culled
+    depths: Array,       # (B*N,) view z (+inf for culled)
+    n_cams: int,
+    tile_w: int,
+    tile_h: int,
+    tiles_x: int,
+    tiles_y: int,
+    capacity: int,       # total; per-camera block = capacity // n_cams
+) -> BlockedTileIntersections:
+    """Whole-batch entry lists with a STATIC per-camera entry block.
+
+    The flat variants compact all cameras' entries together, which makes
+    the backward's Gaussian-gradient segment-sum scatter into a
+    (B*N, 16) accumulator — and XLA's TPU scatter emitter falls off a
+    ~10x cliff once the accumulator exceeds ~16MB (measured round 2:
+    186ms vs 18ms at garden scale, B=2). With camera-blocked entries the
+    VJP runs B independent scatters of block-many entries into (N, 16)
+    accumulators: total cost stays linear in B. Each camera also gets its
+    own overflow budget (farthest-entry drops are per-camera, like the
+    reference's per-GPU duplication buffers).
+
+    Precondition: the (B*N) universe is camera-major (camera c owns
+    indices [c*N, (c+1)*N)) and capacity % n_cams == 0 with the block a
+    multiple of the rasterizer CHUNK (128).
+    """
+    m = means2d.shape[0]
+    n_univ = m // n_cams
+    block = capacity // n_cams
+    numt = tiles_x * tiles_y
+    num_slots = n_cams * numt
+    kspace = n_cams * (numt + 1)     # per-camera slots + 1 sentinel key
+
+    # 1. depth order WITHIN each camera: (cam, depth) two-key sort keeps
+    # camera blocks contiguous in owner-major order (camera c's Gaussians
+    # occupy owner positions [c*N, (c+1)*N) — static boundaries).
+    cam_of_univ = (jnp.arange(m, dtype=jnp.int32) // n_univ)
+    _, _, order = jax.lax.sort(
+        (cam_of_univ, depths, jnp.arange(m, dtype=jnp.int32)), num_keys=2)
+    m2d = means2d[order]
+    rad = radii[order]
+
+    # 2. tile rects + per-camera entry positions
+    x0, y0, spanx, spany = gaussian_tile_rect(
+        m2d, rad, tile_w, tile_h, tiles_x, tiles_y)
+    counts = spanx * spany
+    cum = jnp.cumsum(counts)
+    cam_of_g = cam_of_univ                    # owner-major camera (static)
+    # camera base = total entries of earlier cameras (gather of B values)
+    cam_ends = cum[(jnp.arange(n_cams) + 1) * n_univ - 1]
+    base = jnp.concatenate([jnp.zeros(1, cum.dtype), cam_ends[:-1]])
+    cam_tot = cam_ends - base                 # (B,) true per-camera demand
+    # static-count repeats, NOT small-table gathers: indexing a (B,) table
+    # with a million-sized index vector is a per-index gather on TPU
+    base_g = jnp.repeat(base, n_univ)
+    starts_blocked = (cum - counts) - base_g + cam_of_g * block
+    # scatter positions clamp into the NEXT block start: overflowed
+    # Gaussians' deltas telescope there together with the next camera's
+    # first delta, so the broadcast value is correct at every in-block
+    # position (values themselves stay unclamped)
+    starts_eff = jnp.minimum(
+        starts_blocked, (cam_of_g + 1) * block).astype(jnp.int32)
+
+    e = jnp.arange(capacity, dtype=jnp.int32)
+    startb = _segment_broadcast(starts_blocked.astype(jnp.int32),
+                                starts_eff, capacity)
+    packed = (x0 | (y0 << 10) | (spanx << 20)).astype(jnp.int32)
+    packedb = _segment_broadcast(packed, starts_eff, capacity)
+    x0b = packedb & 0x3FF
+    y0b = (packedb >> 10) & 0x3FF
+    sxb = jnp.maximum(packedb >> 20, 1)
+    gid = _segment_broadcast(order.astype(jnp.int32), starts_eff, capacity)
+
+    cam_e = e // block                        # entry's camera block
+    within = e - startb
+    dy = within // sxb
+    dx = within - dy * sxb
+    ty = y0b + dy
+    tx = x0b + dx
+    # valid iff inside this camera's (capped) entry count — the tail of a
+    # block, and any cross-block spill of a truncated Gaussian, are
+    # sentinel entries that sort to the camera's sentinel key
+    valid_end = cam_e * block + jnp.repeat(
+        jnp.minimum(cam_tot, block).astype(jnp.int32), block)
+    valid = e < valid_end
+    slot_local = ty * tiles_x + tx
+    ekey = jnp.where(valid, cam_e * (numt + 1) + slot_local,
+                     cam_e * (numt + 1) + numt).astype(jnp.int32)
+    gid_val = jnp.where(valid, gid, m).astype(jnp.int32)
+
+    # 3. stable sort by extended key: each block's keys stay inside the
+    # block's key range and every block holds exactly `block` entries, so
+    # camera blocks remain at static entry offsets after the global sort
+    _, gid_sorted = jax.lax.sort_key_val(ekey, gid_val, is_stable=True)
+
+    counts_per = jnp.zeros((kspace + 1,), jnp.int32).at[
+        jnp.clip(ekey, 0, kspace)].add(1)
+    offs_ext = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_per[:kspace])]
+    ).astype(jnp.int32)
+    s = jnp.arange(num_slots, dtype=jnp.int32)
+    key_s = s + s // numt                     # skip each camera's sentinel
+    tile_lo = offs_ext[key_s]
+    tile_hi = offs_ext[key_s + 1]
+
+    return BlockedTileIntersections(
+        gauss_ids=gid_sorted,
+        tile_lo=tile_lo,
+        tile_hi=tile_hi,
+        num_isects=(n_cams * jnp.max(cam_tot)).astype(jnp.int32),
     )
 
 

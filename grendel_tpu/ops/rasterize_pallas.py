@@ -138,7 +138,7 @@ def _span_lane_keep(q, lo, hi_eff):
 
 
 def _fwd_kernel(
-    tile_off_ref, px0_ref, py0_ref,    # scalar prefetch
+    tile_lo_ref, tile_hi_ref, px0_ref, py0_ref,   # scalar prefetch
     payload_hbm,                       # (cap/CHUNK, 16, CHUNK) ANY
     color_out,                         # (1, P, 4) VMEM block
     t_out,                             # (1, P, 1) VMEM block
@@ -147,8 +147,8 @@ def _fwd_kernel(
 ):
     t = pl.program_id(0)
     p = tile_w * tile_h
-    lo = tile_off_ref[t]
-    hi = tile_off_ref[t + 1]
+    lo = tile_lo_ref[t]
+    hi = tile_hi_ref[t]
     hi_eff = jnp.minimum(hi, lo + max_per_tile)
     c0 = lo // CHUNK
     n_chunks = jnp.where(hi_eff > lo, (hi_eff + CHUNK - 1) // CHUNK - c0, 0)
@@ -213,7 +213,7 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    tile_off_ref, px0_ref, py0_ref,    # scalar prefetch
+    tile_lo_ref, tile_hi_ref, px0_ref, py0_ref,   # scalar prefetch
     payload_hbm,                       # (cap/CHUNK, 16, CHUNK) ANY
     aux_ref,                           # (1, P, 8) VMEM: [c_total(3), g(3),
                                        #  T_fin*dT(1), pad(1)] per pixel
@@ -223,8 +223,8 @@ def _bwd_kernel(
 ):
     t = pl.program_id(0)
     p = tile_w * tile_h
-    lo = tile_off_ref[t]
-    hi = tile_off_ref[t + 1]
+    lo = tile_lo_ref[t]
+    hi = tile_hi_ref[t]
     hi_eff = jnp.minimum(hi, lo + max_per_tile)
     c0 = lo // CHUNK
     # the tile must WRITE every chunk its span [lo, hi) touches (zeros for
@@ -419,7 +419,7 @@ def _build_payload(means2d, conics, colors, opacities, gauss_ids):
     return rows.reshape(cap // CHUNK, CHUNK, PAYLOAD_W).transpose(0, 2, 1)
 
 
-def _fwd_impl(gathered, gauss_ids, tile_offsets, slot_px0, slot_py0,
+def _fwd_impl(gathered, gauss_ids, tile_lo, tile_hi, slot_px0, slot_py0,
               tile_w, tile_h, max_per_tile, interpret):
     payload = _build_payload(
         gathered["means2d"], gathered["conics"], gathered["colors"],
@@ -428,7 +428,7 @@ def _fwd_impl(gathered, gauss_ids, tile_offsets, slot_px0, slot_py0,
     p = tile_w * tile_h
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(t_slots,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
@@ -452,39 +452,40 @@ def _fwd_impl(gathered, gauss_ids, tile_offsets, slot_px0, slot_py0,
             jax.ShapeDtypeStruct((t_slots, p, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(tile_offsets, slot_px0, slot_py0, payload)
+    )(tile_lo, tile_hi, slot_px0, slot_py0, payload)
     t_fin = t_fin[:, :, 0]
     colors_pix = colors4[:, :, :3]               # (T, P, 3)
     out = (colors_pix, t_fin)
     return out, (payload, colors_pix, t_fin)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def _rasterize_core(
-    gathered, gauss_ids, tile_offsets, slot_px0, slot_py0,
-    tile_w, tile_h, max_per_tile, interpret, num_gaussians,
+    gathered, gauss_ids, tile_lo, tile_hi, slot_px0, slot_py0,
+    tile_w, tile_h, max_per_tile, interpret, num_gaussians, seg_blocks,
 ):
-    out, _ = _fwd_impl(gathered, gauss_ids, tile_offsets, slot_px0,
+    out, _ = _fwd_impl(gathered, gauss_ids, tile_lo, tile_hi, slot_px0,
                        slot_py0, tile_w, tile_h, max_per_tile, interpret)
     return out
 
 
-def _core_fwd(gathered, gauss_ids, tile_offsets, slot_px0, slot_py0,
-              tile_w, tile_h, max_per_tile, interpret, num_gaussians):
+def _core_fwd(gathered, gauss_ids, tile_lo, tile_hi, slot_px0, slot_py0,
+              tile_w, tile_h, max_per_tile, interpret, num_gaussians,
+              seg_blocks):
     out, (payload, colors_pix, t_fin) = _fwd_impl(
-        gathered, gauss_ids, tile_offsets, slot_px0, slot_py0,
+        gathered, gauss_ids, tile_lo, tile_hi, slot_px0, slot_py0,
         tile_w, tile_h, max_per_tile, interpret)
     # store the payload itself: rebuilding it in the backward re-runs the
     # capacity-sized gather, and gathers in a VJP/transpose context get
     # scalarized by XLA (~140ms/step measured); residual memory is the
     # cheaper trade
-    return out, (payload, colors_pix, t_fin, gauss_ids, tile_offsets,
+    return out, (payload, colors_pix, t_fin, gauss_ids, tile_lo, tile_hi,
                  slot_px0, slot_py0)
 
 
 def _core_bwd(tile_w, tile_h, max_per_tile, interpret, num_gaussians,
-              res, cotangents):
-    payload, colors_pix, t_fin, gauss_ids, tile_offsets, px0, py0 = res
+              seg_blocks, res, cotangents):
+    payload, colors_pix, t_fin, gauss_ids, tile_lo, tile_hi, px0, py0 = res
     g_colors, g_t = cotangents              # (T, P, 3), (T, P)
     t_slots = px0.shape[0]
     p = tile_w * tile_h
@@ -500,7 +501,7 @@ def _core_bwd(tile_w, tile_h, max_per_tile, interpret, num_gaussians,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(t_slots,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -524,26 +525,46 @@ def _core_bwd(tile_w, tile_h, max_per_tile, interpret, num_gaussians,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(payload.shape, jnp.float32)],
         interpret=interpret,
-    )(tile_offsets, px0, py0, payload, aux)[0]
+    )(tile_lo, tile_hi, px0, py0, payload, aux)[0]
 
-    # Every chunk inside some tile's span was written by the kernel; the
-    # only rows with undefined values are entry positions past the true
-    # total (tile_offsets[-1]) — their segment ids get the sentinel below
-    # and segment_sum drops them. No masking pass needed.
+    # Every chunk inside some tile's span was written by the kernel. Rows
+    # with undefined values are entry positions outside every span: past
+    # the overall end (flat layout) or in a camera block's padding tail
+    # (blocked layout, where gauss_ids already carry the sentinel) — both
+    # resolve to sentinel segment ids that the scatter drops.
     d_entries = d_payload.transpose(0, 2, 1).reshape(-1, PAYLOAD_W)
     cap = gauss_ids.shape[0]
-    in_span = jnp.arange(cap, dtype=jnp.int32) < tile_offsets[-1]
+    in_span = jnp.arange(cap, dtype=jnp.int32) < tile_hi[-1]
     seg_ids = jnp.where(in_span, gauss_ids, num_gaussians)
 
-    d_all = jax.ops.segment_sum(d_entries, segment_ids=seg_ids,
-                                num_segments=num_gaussians)
+    if seg_blocks > 1:
+        # XLA's TPU scatter emitter degrades ~10x once the accumulator
+        # exceeds ~16MB (measured: (524288,16) f32 186ms vs (262144,16)
+        # 18ms for the same entry count). The camera-blocked entry layout
+        # (isect_tile_rows_blocked) makes entries of camera c occupy the
+        # static range [c*eb, (c+1)*eb) with ids in [c*ib, (c+1)*ib), so
+        # the reduction runs as seg_blocks independent small-accumulator
+        # scatters — total cost linear in the batch size.
+        eb = cap // seg_blocks
+        ib = num_gaussians // seg_blocks
+        outs = []
+        for c in range(seg_blocks):
+            g = seg_ids[c * eb:(c + 1) * eb] - c * ib
+            sids = jnp.where((g >= 0) & (g < ib), g, ib)
+            outs.append(jax.ops.segment_sum(
+                d_entries[c * eb:(c + 1) * eb], segment_ids=sids,
+                num_segments=ib))
+        d_all = jnp.concatenate(outs, axis=0)
+    else:
+        d_all = jax.ops.segment_sum(d_entries, segment_ids=seg_ids,
+                                    num_segments=num_gaussians)
     d_gathered = {
         "means2d": d_all[:, 0:2],
         "conics": d_all[:, 2:5],
         "colors": d_all[:, 5:8],
         "opacities": d_all[:, 8],
     }
-    return (d_gathered, None, None, None, None)
+    return (d_gathered, None, None, None, None, None)
 
 
 _rasterize_core.defvjp(_core_fwd, _core_bwd)
@@ -551,16 +572,30 @@ _rasterize_core.defvjp(_core_fwd, _core_bwd)
 
 def rasterize_slots_pl(
     means2d: Array, conics: Array, colors: Array, opacities: Array,
-    gauss_ids: Array, tile_offsets: Array, slot_px0: Array, slot_py0: Array,
-    tile_w: int, tile_h: int, max_per_tile: int, chunk: int = CHUNK,
-    interpret: bool = False,
+    gauss_ids: Array, tile_offsets: Array = None,
+    slot_px0: Array = None, slot_py0: Array = None,
+    tile_w: int = 16, tile_h: int = 16, max_per_tile: int = 1024,
+    chunk: int = CHUNK, interpret: bool = False,
+    *, tile_lo: Array = None, tile_hi: Array = None, seg_blocks: int = 1,
 ) -> Tuple[Array, Array]:
     """Pallas-backed tile blending; same contract as rasterize_slots.
 
+    Tile spans come either from ``tile_offsets`` ((T+1,), contiguous flat
+    layout) or from explicit ``tile_lo``/``tile_hi`` arrays ((T,) each,
+    camera-blocked layout from :func:`isect_tile_rows_blocked` — pass
+    ``seg_blocks=n_cams`` there so the backward reduction runs per-camera
+    small-accumulator scatters).
+
     ``chunk`` is accepted for API parity but the kernel always uses
     CHUNK=128 (the TPU lane width). ``gauss_ids`` must be CHUNK-divisible
-    in length (isect capacities are powers of two >= 2^14, so they are).
+    in length (the trainer's capacity picker rounds to >= 128 multiples).
     """
+    if tile_lo is None:
+        toff = tile_offsets.astype(jnp.int32)
+        tile_lo, tile_hi = toff[:-1], toff[1:]
+    else:
+        tile_lo = tile_lo.astype(jnp.int32)
+        tile_hi = tile_hi.astype(jnp.int32)
     gathered = {
         "means2d": means2d,
         "conics": conics,
@@ -568,7 +603,8 @@ def rasterize_slots_pl(
         "opacities": opacities,
     }
     return _rasterize_core(
-        gathered, gauss_ids, tile_offsets.astype(jnp.int32),
+        gathered, gauss_ids, tile_lo, tile_hi,
         slot_px0.astype(jnp.int32), slot_py0.astype(jnp.int32),
         tile_w, tile_h, max_per_tile, interpret, means2d.shape[0],
+        seg_blocks,
     )

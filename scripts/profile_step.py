@@ -95,11 +95,30 @@ def main():
     )
     alive = jnp.arange(capacity) < n_live
     backend = "pallas" if jax.default_backend() == "tpu" else "jax"
-    cfg = RenderConfig(img_h=h, img_w=w, isect_capacity=1 << 21,
-                       max_per_tile=1024, chunk=64, backend=backend)
     cams_host = [make_test_camera(w, h, dist=5.0, angle=0.1 * i)
                  for i in range(bsz)]
     cams = batch_camera_arrays(cams_host)
+
+    # tight per-camera entry capacity, matching the trainer auto-tuner's
+    # steady state (1.3x headroom, 1/8-pow2 mantissa rounding) — see
+    # bench.py; profiling an oversized pow2 buffer misstates every
+    # capacity-proportional stage
+    from grendel_tpu.cameras import camera_arrays
+    ca0 = camera_arrays(cams_host[0])
+    sp0 = jax.jit(lambda p: project_gaussians(
+        p.means3d, jnp.exp(p.scales_raw), p.quats,
+        jax.nn.sigmoid(p.opacities_raw),
+        jnp.concatenate([p.sh_dc, p.sh_rest], axis=1), alive,
+        ca0.viewmat, ca0.full_proj, ca0.campos, ca0.tanfov,
+        h, w, sh_degree))(params)
+    n_isect = int(jax.jit(lambda s: isect_tiles(
+        s.means2d, s.radii, s.depths, 16, 16, -(-w // 16), -(-h // 16),
+        1 << 22).num_isects)(sp0))
+    nt = max(int(1.3 * n_isect), 1 << 14)
+    k = max(int(np.floor(np.log2(nt))) - 3, 7)
+    isect_cap = -(-nt // (1 << k)) << k
+    cfg = RenderConfig(img_h=h, img_w=w, isect_capacity=isect_cap,
+                       max_per_tile=1024, chunk=64, backend=backend)
     rng = np.random.default_rng(0)
     gt_u8 = jnp.asarray(rng.integers(0, 255, (bsz, 3, h, w), dtype=np.uint8))
     gt = gt_u8.astype(jnp.float32) / 255.0

@@ -97,3 +97,51 @@ def test_pallas_empty_tiles():
     assert empty.any()
     np.testing.assert_array_equal(np.asarray(col_p)[empty], 0.0)
     np.testing.assert_array_equal(np.asarray(t_p)[empty], 1.0)
+
+
+def test_render_batch_rowslots_matches_vmapped_jax():
+    """The single-chip bsz>1 row-slot path (one isect + one kernel for the
+    whole batch) must match the per-camera vmapped jax backend: images,
+    param grads, and the means2d tap grads used for densify stats."""
+    from grendel_tpu.cameras import batch_camera_arrays
+    from grendel_tpu.engine.render import RenderConfig, render_batch
+    from grendel_tpu.models.gaussian_model import GaussianParams
+    from grendel_tpu.testing import make_test_camera, random_gaussians
+    from grendel_tpu.utils.math3d import inverse_sigmoid
+
+    b, n, w, h = 3, 400, 96, 80
+    means, scales, quats, opac, sh = random_gaussians(
+        jax.random.PRNGKey(3), n, sh_degree=1)
+    params = GaussianParams(
+        means3d=means, sh_dc=sh[:, :1, :], sh_rest=sh[:, 1:, :],
+        scales_raw=jnp.log(scales), quats=quats,
+        opacities_raw=inverse_sigmoid(jnp.clip(opac, 1e-4, 1 - 1e-4)))
+    alive = jnp.ones(n, bool)
+    cams = batch_camera_arrays(
+        [make_test_camera(w, h, angle=0.3 * i) for i in range(b)])
+    bg = jnp.array([0.2, 0.1, 0.3])
+
+    def run(backend):
+        cfg = RenderConfig(img_h=h, img_w=w, isect_capacity=8192,
+                           max_per_tile=512, backend=backend)
+
+        def loss_fn(p, tap):
+            imgs, splats, aux = render_batch(
+                p, alive, cams, 1, cfg, bg=bg, means2d_tap=tap)
+            return jnp.sum(imgs ** 2), imgs
+
+        tap = jnp.zeros((b, n, 2), jnp.float32)
+        (val, imgs), (g_p, g_tap) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, tap)
+        return imgs, g_p, g_tap
+
+    imgs_j, gp_j, gt_j = run("jax")
+    imgs_p, gp_p, gt_p = run("pallas_interpret")
+    np.testing.assert_allclose(np.asarray(imgs_p), np.asarray(imgs_j),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_j),
+                               atol=1e-4, rtol=1e-3)
+    for name in gp_j._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(gp_p, name)), np.asarray(getattr(gp_j, name)),
+            atol=1e-4, rtol=1e-3, err_msg=name)
