@@ -116,7 +116,7 @@ class Trainer:
         if cfg.stop_update_param:
             self.xyz_sched = XyzLrSchedule(0.0, 0.0, 1.0, 1)
 
-        self.bg = jnp.asarray(
+        self.bg = np.asarray(
             [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0])
 
         # model init
@@ -197,9 +197,19 @@ class Trainer:
 
     def _shard(self, state: TrainState) -> TrainState:
         specs = _state_specs()
-        return jax.tree.map(
-            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
-            state, specs)
+
+        def put(x, s):
+            sharding = NamedSharding(self.mesh, s)
+            if jax.process_count() == 1:
+                return jax.device_put(x, sharding)
+            # multi-host: every process holds the same host value and
+            # feeds only its addressable shards (device_put cannot target
+            # non-addressable devices)
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx: arr[idx])
+
+        return jax.tree.map(put, state, specs)
 
     def _isect_cap_target(self) -> int:
         """Entry-buffer capacity target: 1.3x headroom over the decayed
@@ -216,6 +226,10 @@ class Trainer:
         n = max(int(target), 1 << 14)
         k = max(int(np.floor(np.log2(n))) - 3, 7)
         cap = -(-n // (1 << k)) << k
+        # single-device blocked rasterization needs bsz*CHUNK divisibility
+        # (camera-blocked entry layout, parallel/sharded.py)
+        align = 128 * max(1, self.cfg.dist.bsz)
+        cap = -(-cap // align) * align
         if cap > self.isect_capacity_ceiling:
             # the observed peak can exceed the measured HBM-safe bound
             # (early-training giant-splat transient) — clamp so we never
@@ -443,7 +457,7 @@ class Trainer:
         psnrs, l1s = [], []
         pos_np = divide_rows(
             np.ones(cfg.total_rows), self.n_devices, cfg.n_row_slots)
-        pos = jnp.asarray(pos_np)
+        pos = pos_np
         for i in range(0, len(cams), bsz):
             batch = cams[i:i + bsz]
             n_real = len(batch)
@@ -497,19 +511,19 @@ class Trainer:
                     [self._gt_index[c.uid] for c in batch], np.int32)
                 gt_rows = self._gt_packer(pcfg)(
                     self._gt_device, jnp.asarray(cam_ids),
-                    jnp.asarray(pos_np))
+                    pos_np)
             else:
                 gt_rows = self._gt_rows_array(batch, pos_np, pcfg, trainer)
 
             bg = self.bg
             if cfg.opt.random_background:
-                bg = jnp.asarray(
+                bg = np.asarray(
                     np.random.default_rng(cfg.seed + it).random(3),
                     jnp.float32)
 
             self.state, metrics = trainer.step(
                 self.state, batch_camera_arrays(batch), gt_rows,
-                jnp.asarray(pos_np), bg)
+                pos_np, bg)
 
             if cfg.dist.save_strategy_history:
                 self._strategy_history.append({

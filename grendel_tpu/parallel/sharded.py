@@ -248,32 +248,59 @@ def _render_owned_rows(
     radii = jnp.where(valid, recv_meta[:, 1], 0.0).astype(jnp.int32)
     depths = jnp.where(valid, recv_meta[:, 2], jnp.inf)
 
-    isect = isect_tile_rows(
-        means2d, radii, depths, cams, row_lo, row_hi,
-        cfg.tile_w, cfg.tile_h, tiles_x, tiles_y,
-        r_slots, cfg.isect_capacity,
-    )
-
     s = jnp.arange(r_slots * tiles_x, dtype=jnp.int32)
     grow = row_lo + s // tiles_x
     ty = grow % tiles_y
     px0 = (s % tiles_x) * cfg.tile_w
     py0 = ty * cfg.tile_h
 
-    if cfg.backend == "pallas":
+    # Single-device: the full row span is owned and the entry universe is
+    # camera-major (B*N), so use the camera-BLOCKED entry layout — the
+    # backward's Gaussian-gradient reduction then runs per-camera
+    # small-accumulator scatters (XLA's TPU scatter degrades ~10x above
+    # ~16MB of accumulator; the flat layout paid that at every bsz >= 2).
+    blocked = (cfg.n_devices == 1 and cfg.backend == "pallas"
+               and r_slots == cfg.bsz * tiles_y
+               and means2d.shape[0] % cfg.bsz == 0
+               and cfg.isect_capacity % (cfg.bsz * 128) == 0)
+    if blocked:
+        from ..ops.isect import isect_tile_rows_blocked
         from ..ops.rasterize_pallas import rasterize_slots_pl
 
+        isect = isect_tile_rows_blocked(
+            means2d, radii, depths, cfg.bsz,
+            cfg.tile_w, cfg.tile_h, tiles_x, tiles_y,
+            capacity=cfg.isect_capacity,
+        )
         colors, t_final = rasterize_slots_pl(
             means2d, conics, rgbs, opacs,
-            isect.gauss_ids, isect.tile_offsets, px0, py0,
+            isect.gauss_ids, None, px0, py0,
             cfg.tile_w, cfg.tile_h, cfg.max_per_tile,
+            tile_lo=isect.tile_lo, tile_hi=isect.tile_hi,
+            seg_blocks=cfg.bsz,
         )
+        n_per_slot = isect.tile_hi - isect.tile_lo
     else:
-        colors, t_final = rasterize_slots(
-            means2d, conics, rgbs, opacs,
-            isect.gauss_ids, isect.tile_offsets, px0, py0,
-            cfg.tile_w, cfg.tile_h, cfg.max_per_tile, cfg.chunk,
+        isect = isect_tile_rows(
+            means2d, radii, depths, cams, row_lo, row_hi,
+            cfg.tile_w, cfg.tile_h, tiles_x, tiles_y,
+            r_slots, cfg.isect_capacity,
         )
+        if cfg.backend == "pallas":
+            from ..ops.rasterize_pallas import rasterize_slots_pl
+
+            colors, t_final = rasterize_slots_pl(
+                means2d, conics, rgbs, opacs,
+                isect.gauss_ids, isect.tile_offsets, px0, py0,
+                cfg.tile_w, cfg.tile_h, cfg.max_per_tile,
+            )
+        else:
+            colors, t_final = rasterize_slots(
+                means2d, conics, rgbs, opacs,
+                isect.gauss_ids, isect.tile_offsets, px0, py0,
+                cfg.tile_w, cfg.tile_h, cfg.max_per_tile, cfg.chunk,
+            )
+        n_per_slot = isect.tile_offsets[1:] - isect.tile_offsets[:-1]
     colors = colors + t_final[..., None] * bg[None, None, :]
 
     # (S, P, 3) -> (R, 3, tile_h, W)
@@ -290,10 +317,7 @@ def _render_owned_rows(
     mask = jnp.broadcast_to(mask, (r_slots, cfg.tile_h, cfg.img_w))
     cam_of_row = jnp.clip(row_ids // tiles_y, 0, cfg.bsz - 1)
 
-    per_row_entries = (
-        (isect.tile_offsets[1:] - isect.tile_offsets[:-1])
-        .reshape(r_slots, tiles_x).sum(axis=1)
-    )
+    per_row_entries = n_per_slot.reshape(r_slots, tiles_x).sum(axis=1)
     return rows, mask, cam_of_row, per_row_entries, isect.num_isects
 
 
@@ -564,21 +588,29 @@ class ShardedTrainer:
                 params=params, alive=state.alive, adam=adam, stats=stats,
                 iteration=state.iteration + bsz,
             )
+            # per-device telemetry is all-gathered to every device (bytes:
+            # D*R ints — negligible) so the host balancer/tuner reads a
+            # REPLICATED array; under multi-host each process can only
+            # device_get fully-replicated values, and every host needs the
+            # full cost picture to compute the same division_pos anyway
             metrics = {
                 "loss": loss,
                 "l1": jax.lax.psum(aux["l1_partial"], AXIS),
                 "ssim": jax.lax.psum(aux["ssim_partial"], AXIS),
-                "per_row_entries": aux["per_row_entries"][None],   # (1, R)
-                "num_isects": aux["num_isects"][None],
-                "a2a_overflow": aux["a2a_overflow"][None],
+                "per_row_entries": jax.lax.all_gather(
+                    aux["per_row_entries"], AXIS),                 # (D, R)
+                "num_isects": jax.lax.all_gather(
+                    aux["num_isects"], AXIS),                      # (D,)
+                "a2a_overflow": jax.lax.all_gather(
+                    aux["a2a_overflow"], AXIS),                    # (D,)
                 "xyz_lr": xyz_lr,
             }
             return new_state, metrics
 
         metrics_spec = {
             "loss": P(), "l1": P(), "ssim": P(),
-            "per_row_entries": P(AXIS), "num_isects": P(AXIS),
-            "a2a_overflow": P(AXIS), "xyz_lr": P(),
+            "per_row_entries": P(), "num_isects": P(),
+            "a2a_overflow": P(), "xyz_lr": P(),
         }
 
         self._step = jax.jit(shard_map(
