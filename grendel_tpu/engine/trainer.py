@@ -61,6 +61,16 @@ class Trainer:
         self.history = DivisionHistory(
             tiles_y=self._tiles_y(), decay=cfg.dist.heuristic_decay)
         self.densify_count = 0
+        self.densify_history: list = []  # per-densification n_3dgs record
+        # keyed stage timers (ref: --enable_timer + Timer, utils/timer.py:
+        # 6-89); stage keys mirror the reference's numbered kernel stages
+        # ("10 division", "50 step", ...) so scripts/analyze.py --stages can
+        # mine them like analyze_statistic.py mines gpu_time logs. NOTE:
+        # timing the step forces a device sync per iteration (the reference
+        # pays the same cuda.synchronize cost under its timer flag).
+        from ..utils.timer import Timer
+
+        self.timer = Timer(enabled=cfg.enable_timer)
         self._trainer_cache = {}
         self._redist_cache = {}
         self._pending_costs = None
@@ -493,6 +503,7 @@ class Trainer:
             trainer = self._trainer(sh_degree)
             pcfg = trainer.cfg
 
+            self.timer.start("10 division+pack")
             if cfg.dist.local_sampling:
                 # each device's cameras come from its own store (uid % D ==
                 # d) and are rendered wholly by it (ref train_internal.py:
@@ -520,10 +531,15 @@ class Trainer:
                 bg = np.asarray(
                     np.random.default_rng(cfg.seed + it).random(3),
                     jnp.float32)
+            self.timer.stop("10 division+pack")
 
+            self.timer.start("50 step")
             self.state, metrics = trainer.step(
                 self.state, batch_camera_arrays(batch), gt_rows,
                 pos_np, bg)
+            self.timer.stop("50 step", sync_on=metrics["loss"]
+                            if cfg.enable_timer else None)
+            self._update_hbm_ceiling(trainer, pcfg)
 
             if cfg.dist.save_strategy_history:
                 self._strategy_history.append({
@@ -578,6 +594,9 @@ class Trainer:
                 self._log(
                     f"iter {it}: loss={loss:.5f} n3dgs={n_alive} "
                     f"xyz_lr={float(metrics['xyz_lr']):.2e} it/s={ips:.2f}")
+                if cfg.enable_timer:
+                    # stage-time line mined by scripts/analyze.py --stages
+                    self._log("timers: " + self.timer.report())
 
             # ---- densification schedule (ref densification.py:5-85) ----
             if (not o.disable_auto_densification
@@ -587,6 +606,7 @@ class Trainer:
                     and check_update_at_this_iter(
                         sched_it, bsz, o.densification_interval, 0)):
                 use_size_prune = sched_it > o.opacity_reset_interval
+                self.timer.start("80 densify")
                 self.state, info = trainer.densify(
                     self.state, jax.random.key(cfg.seed * 1000003 + it),
                     o.densify_grad_threshold, o.min_opacity,
@@ -594,6 +614,17 @@ class Trainer:
                 self.densify_count += 1
                 dropped = int(info[:, 3].sum())
                 occ = info[:, 4].max() / self.n_local
+                # n_3dgs trajectory (ref logs "Now num of 3dgs" per
+                # densification, general_utils.py:303-325) — the dynamics
+                # regression tests assert on this record
+                self.densify_history.append({
+                    "iter": int(sched_it),
+                    "clone": int(info[:, 0].sum()),
+                    "split": int(info[:, 1].sum()),
+                    "prune": int(info[:, 2].sum()),
+                    "alive": int(info[:, 4].sum()),
+                    "dropped": dropped,
+                })
                 self._log(
                     f"iter {it}: densify #{self.densify_count} "
                     f"clone={info[:, 0].sum()} split={info[:, 1].sum()} "
@@ -623,6 +654,7 @@ class Trainer:
                     )
                     if need:
                         self._redistribute(it)
+                self.timer.stop("80 densify")
 
             # ---- opacity reset ----
             if (check_update_at_this_iter(
@@ -633,11 +665,17 @@ class Trainer:
 
             # ---- eval / save / checkpoint ----
             if any(it - bsz < t <= it for t in cfg.test_iterations):
+                self.timer.start("90 eval")
                 self._run_eval(it, sh_degree)
+                self.timer.stop("90 eval")
             if any(it - bsz < t <= it for t in cfg.save_iterations):
+                self.timer.start("95 save")
                 self.save_model(it)
+                self.timer.stop("95 save")
             if any(it - bsz < t <= it for t in cfg.checkpoint_iterations):
+                self.timer.start("95 save")
                 self.save_checkpoint(it)
+                self.timer.stop("95 save")
 
         secs = time.time() - t_start
         self._log(f"training done: {it} iters in {secs / 60:.2f} min "
@@ -700,17 +738,44 @@ class Trainer:
                 f"a2a bucket overflow ({overflow} entries): raising "
                 f"send_cap_factor -> {self._a2a_factor:.2f} (recompile)")
 
+    def _update_hbm_ceiling(self, st, pcfg: ParallelConfig):
+        """Derive the isect-entry ceiling and HBM occupancy from XLA's
+        memory analysis of the compiled step (once per trainer build).
+        Replaces the round-1 hand-measured static 2^22 ceiling; works even
+        where device.memory_stats() is empty (e.g. the axon transport)."""
+        if not st.mem_bytes or getattr(st, "_hbm_ceiling_done", False):
+            return
+        st._hbm_ceiling_done = True
+        from ..utils.hbm import BYTES_PER_ISECT_ENTRY, hbm_bytes_limit
+
+        limit = hbm_bytes_limit()
+        if not limit:
+            return
+        self._hbm_usage_frac = st.mem_bytes / limit
+        headroom = 0.90 * limit - st.mem_bytes
+        ceiling = int(pcfg.isect_capacity
+                      + max(headroom, 0.0) / BYTES_PER_ISECT_ENTRY)
+        self.isect_capacity_ceiling = max(ceiling, pcfg.isect_capacity)
+        self._log(
+            f"compiled step reserves {st.mem_bytes / 2**30:.2f}GB of "
+            f"{limit / 2**30:.0f}GB HBM; isect entry ceiling -> "
+            f"{self.isect_capacity_ceiling}")
+
     def _memory_guard_tripped(self) -> bool:
         """Stop densification when device HBM is nearly full (ref:
         --densify_memory_limit_percentage + check_memory_usage_and_adjust,
-        utils/general_utils.py:327-345)."""
+        utils/general_utils.py:327-345). Uses live memory_stats when the
+        runtime reports them, else the compiled step's reserved bytes from
+        XLA memory analysis (_update_hbm_ceiling)."""
         from ..utils.timer import device_memory_stats
 
+        frac = None
         stats = device_memory_stats()
-        if not stats or not stats.get("bytes_limit"):
-            return False
-        frac = stats["bytes_in_use"] / stats["bytes_limit"]
-        if frac > self.cfg.opt.densify_memory_limit_percentage:
+        if stats and stats.get("bytes_limit"):
+            frac = stats["bytes_in_use"] / stats["bytes_limit"]
+        elif getattr(self, "_hbm_usage_frac", None):
+            frac = self._hbm_usage_frac
+        if frac is not None and frac > self.cfg.opt.densify_memory_limit_percentage:
             self._log(f"densification stopped: HBM at {frac:.0%} "
                       f"(limit {self.cfg.opt.densify_memory_limit_percentage:.0%})")
             return True

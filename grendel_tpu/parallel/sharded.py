@@ -517,6 +517,10 @@ class ShardedTrainer:
         self.xyz_sched = xyz_sched
         self.lr_scale_mode = lr_scale_mode
         self.lr_scale_loss = lr_scale_loss
+        # reserved HBM bytes of the compiled step (temp+args+outs), filled
+        # from XLA's memory analysis after the first execution — see
+        # utils/hbm.py (the runtime's memory_stats can be empty on TPU)
+        self.mem_bytes = None
         self._build()
 
     # -- sharding helpers --------------------------------------------------
@@ -746,7 +750,24 @@ class ShardedTrainer:
         gt_rows: (D, R, 3, tile_h, W) uint8 — device d's slice at index d
         (shard with ``sharding_for(P('d'))`` for zero-copy placement).
         """
-        return self._step(state, cams, gt_rows, division_pos, bg)
+        out = self._step(state, cams, gt_rows, division_pos, bg)
+        if self.mem_bytes is None:
+            import jax
+
+            if jax.process_count() > 1:
+                # multi-controller: re-entering lower/compile outside the
+                # shared step schedule can desynchronize the processes
+                # (observed: 2-process CPU run deadlocks at the first
+                # step); pod slices report real memory_stats, so the
+                # XLA-memory-analysis fallback is single-process only
+                self.mem_bytes = 0
+            else:
+                from ..utils.hbm import compiled_bytes
+
+                # resolves from the executable cache now that the step ran
+                self.mem_bytes = compiled_bytes(
+                    self._step, state, cams, gt_rows, division_pos, bg) or 0
+        return out
 
     def render(self, params: GaussianParams, alive: Array, cams: CameraArrays,
                division_pos: Array, bg: Array) -> Array:

@@ -28,6 +28,10 @@ DONE = re.compile(
 DENS = re.compile(
     r"iter (\d+): densify #(\d+) clone=(\d+) split=(\d+) prune=(\d+) "
     r"alive=(\d+)")
+# --enable_timer stage lines ("timers: 50 step: 123.45 ms (x250, avg
+# 0.49 ms); ...") — the analogue of the reference's gpu_time_*.log per-
+# kernel stage timers mined by analyze_statistic.py:747-809
+STAGE = re.compile(r"([\w+ ]+?): ([\d.]+) ms \(x(\d+), avg ([\d.]+) ms\)")
 
 
 def analyze_run(model_path: str) -> dict:
@@ -36,6 +40,7 @@ def analyze_run(model_path: str) -> dict:
         "evals": [],        # (iter, split, l1, psnr)
         "iters": [],        # (iter, loss, n3dgs, it_per_s)
         "densify": [],      # (iter, count, clone, split, prune, alive)
+        "stages": {},       # key -> {"ms": total, "n": count}
         "end2end_min": None,
         "final_it_per_s": None,
         "final_n3dgs": None,
@@ -56,6 +61,12 @@ def analyze_run(model_path: str) -> dict:
                                          int(e.group(3)), float(e.group(4))))
                 elif (e := DENS.search(msg)):
                     out["densify"].append(tuple(int(g) for g in e.groups()))
+                elif msg.startswith("timers: "):
+                    for key, total, n, _avg in STAGE.findall(msg[8:]):
+                        s = out["stages"].setdefault(
+                            key.strip(), {"ms": 0.0, "n": 0})
+                        s["ms"] += float(total)
+                        s["n"] += int(n)
                 elif (e := DONE.search(msg)):
                     out["end2end_min"] = float(e.group(2))
                     out["final_it_per_s"] = float(e.group(3))
@@ -70,10 +81,30 @@ def analyze_run(model_path: str) -> dict:
     return out
 
 
+def print_stage_table(rows):
+    """Per-stage time table across runs (analogue of the reference's
+    per-kernel GPU time tables, analyze_statistic.py:747-809). Requires
+    runs trained with --enable_timer."""
+    for r in rows:
+        if not r["stages"]:
+            continue
+        print(f"\n== stage times: {os.path.basename(r['model_path'])} ==")
+        print(f"{'stage':24s} {'total(s)':>9s} {'calls':>7s} {'avg(ms)':>8s} "
+              f"{'share':>6s}")
+        total = sum(s["ms"] for s in r["stages"].values())
+        for key in sorted(r["stages"]):
+            s = r["stages"][key]
+            print(f"{key:24s} {s['ms'] / 1e3:9.2f} {s['n']:7d} "
+                  f"{s['ms'] / max(s['n'], 1):8.2f} "
+                  f"{s['ms'] / max(total, 1e-9):6.1%}")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model_paths", "-m", nargs="+", required=True)
     p.add_argument("--json", type=str, default=None)
+    p.add_argument("--stages", action="store_true",
+                   help="print per-stage time tables (--enable_timer runs)")
     a = p.parse_args()
 
     rows = [analyze_run(mp) for mp in a.model_paths]
@@ -90,6 +121,8 @@ def main():
         n = str(r["final_n3dgs"]) if r["final_n3dgs"] else "-"
         print(f"{os.path.basename(r['model_path']):40s} {t:>9s} {ips:>6s} "
               f"{n:>9s} {psnr:>9s} {l1:>8s}")
+    if a.stages:
+        print_stage_table(rows)
     if a.json:
         with open(a.json, "w") as f:
             json.dump(rows, f, indent=2)

@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--auto_start_checkpoint", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_interval", type=int, default=250)
+    p.add_argument("--enable_timer", action="store_true",
+                   help="per-stage wall times logged every log_interval "
+                        "(forces a device sync per step, like the "
+                        "reference's --enable_timer cuda.synchronize)")
     # TPU-specific
     p.add_argument("--n_devices", type=int, default=-1,
                    help="-1 = all visible devices")
@@ -153,6 +157,7 @@ def args_to_config(a):
     cfg.auto_start_checkpoint = a.auto_start_checkpoint
     cfg.seed = a.seed
     cfg.log_interval = a.log_interval
+    cfg.enable_timer = a.enable_timer
     return cfg.finalize()
 
 

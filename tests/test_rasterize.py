@@ -212,3 +212,46 @@ class TestGradients:
             np.testing.assert_allclose(g[i, 0], fd, rtol=0.15, atol=5e-7)
             checked += 1
         assert checked >= 4
+
+
+def test_capacity_overflow_drops_are_benign():
+    """Entry-capacity overflow drops the FARTHEST entries (entries are
+    generated in depth order in isect_tiles). In the dense/opaque regime —
+    which is exactly the early-training giant-splat transient the trainer's
+    HBM-ceiling clamp lets overflow instead of growing the buffer past the
+    memory budget — the far tail is occluded and the image barely changes,
+    even at a 40% cut. A sparse translucent scene degrades gracefully at a
+    10% cut. Measured (CPU backend): dense 40%-cut 45.9dB, sparse 10%-cut
+    30.5dB."""
+    from grendel_tpu.ops.ssim import psnr
+    from grendel_tpu.testing import make_test_camera, project_test_scene
+
+    def drop_psnr(n, opacity_range, scale_range, frac, key):
+        cam = make_test_camera(width=128, height=96)
+        _, splats = project_test_scene(
+            jax.random.PRNGKey(key), n, cam,
+            opacity_range=opacity_range, scale_range=scale_range)
+        tx, ty = -(-cam.width // 16), -(-cam.height // 16)
+
+        def render(capacity):
+            isect = isect_tiles(splats.means2d, splats.radii, splats.depths,
+                                16, 16, tx, ty, capacity=capacity)
+            img, aux = rasterize_tiles(
+                splats, isect, cam.height, cam.width, tile_w=16, tile_h=16,
+                bg=jnp.zeros(3), max_per_tile=4096, chunk=64)
+            kept = int(np.asarray(isect.tile_offsets)[-1])
+            return img, int(aux.num_isects), kept
+
+        img_full, total, kept_full = render(1 << 17)
+        assert kept_full == total, "full-capacity render must keep every entry"
+        cut_cap = (int(frac * total) // 128) * 128
+        img_cut, _, kept_cut = render(cut_cap)
+        assert kept_cut < total, "cut capacity must actually drop entries"
+        return float(psnr(jnp.clip(img_cut, 0, 1), jnp.clip(img_full, 0, 1)))
+
+    # dense + opaque (the transient regime): a 40% cut is invisible
+    q_dense = drop_psnr(4000, (0.7, 0.99), (-4.0, -2.0), frac=0.6, key=7)
+    assert q_dense > 40.0, f"dense-scene 40% drop visible: {q_dense:.1f}dB"
+    # sparse + translucent: a 10% far-tail cut still degrades gracefully
+    q_sparse = drop_psnr(2000, (0.3, 0.95), (-4.5, -2.5), frac=0.9, key=7)
+    assert q_sparse > 27.0, f"sparse-scene 10% drop visible: {q_sparse:.1f}dB"
