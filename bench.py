@@ -101,7 +101,8 @@ def main():
             jnp.concatenate([p.sh_dc, p.sh_rest], axis=1), al,
             ca.viewmat, ca.full_proj, ca.campos, ca.tanfov,
             h, w, sh_degree)),
-        16, 16, -(-w // 16), -(-h // 16), 1 << 22))
+        16, 16, -(-w // 16), -(-h // 16), 1 << 22,
+        opacities=jax.nn.sigmoid(p.opacities_raw)))
     n_isect = int(probe(params, alive, ca0).num_isects)
     n = max(int(1.3 * n_isect), 1 << 14)
     k = max(int(np.floor(np.log2(n))) - 3, 7)

@@ -72,6 +72,7 @@ def render_splats(
         splats.means2d, splats.radii, splats.depths,
         cfg.tile_w, cfg.tile_h, cfg.tiles_x, cfg.tiles_y,
         capacity=cfg.isect_capacity,
+        opacities=splats.opacities,
     )
     if cfg.use_pallas:
         return _rasterize_tiles_pallas(splats, isect, cfg, bg, tile_mask)
@@ -186,6 +187,7 @@ def _render_batch_rowslots(act, alive, cams, sh_degree, cfg: RenderConfig,
         flat.means2d, flat.radii, flat.depths, b,
         cfg.tile_w, cfg.tile_h, tiles_x, tiles_y,
         capacity=b * cfg.isect_capacity,
+        opacities=flat.opacities,
     )
 
     s = jnp.arange(r * tiles_x, dtype=jnp.int32)

@@ -67,21 +67,118 @@ def _segment_broadcast(values: Array, seg_starts: Array, capacity: int) -> Array
 
 
 def gaussian_tile_rect(means2d: Array, radii: Array, tile_w: int, tile_h: int,
-                       tiles_x: int, tiles_y: int):
+                       tiles_x: int, tiles_y: int, rect_r: Array = None):
     """Inclusive-exclusive tile rect [x0,x1) x [y0,y1) of each Gaussian's bbox.
 
     Matches the reference kernels' getRect convention (truncating float
-    division of the 3-sigma box corners by the tile size).
+    division of the 3-sigma box corners by the tile size). With ``rect_r``
+    the box is built from that (smaller, opacity-aware) radius instead of
+    the full 3-sigma ``radii``; ``rect_r < 0`` marks a Gaussian whose peak
+    alpha is already below the blend threshold (empty rect).
     """
-    r = radii.astype(jnp.float32)
+    if rect_r is None:
+        r = radii.astype(jnp.float32)
+        # reference getRect convention (integer radius)
+        x1 = jnp.clip(jnp.floor((means2d[:, 0] + r + tile_w - 1) / tile_w),
+                      0, tiles_x).astype(jnp.int32)
+        y1 = jnp.clip(jnp.floor((means2d[:, 1] + r + tile_h - 1) / tile_h),
+                      0, tiles_y).astype(jnp.int32)
+    else:
+        r = rect_r
+        # float radius: first EXCLUDED tile starts at floor((m+r)/t)+1, so
+        # every dropped pixel is strictly beyond r (the reference formula
+        # above drops pixels at distance > r-1 for fractional r). Capped
+        # by the reference rect so the tightened box is always a subset
+        # (the float formula is boundary-INclusive where the reference's
+        # is exclusive).
+        rr = radii.astype(jnp.float32)
+        x1 = jnp.minimum(
+            jnp.floor((means2d[:, 0] + r) / tile_w) + 1,
+            jnp.floor((means2d[:, 0] + rr + tile_w - 1) / tile_w))
+        y1 = jnp.minimum(
+            jnp.floor((means2d[:, 1] + r) / tile_h) + 1,
+            jnp.floor((means2d[:, 1] + rr + tile_h - 1) / tile_h))
+        x1 = jnp.clip(x1, 0, tiles_x).astype(jnp.int32)
+        y1 = jnp.clip(y1, 0, tiles_y).astype(jnp.int32)
     x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / tile_w), 0, tiles_x).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / tile_h), 0, tiles_y).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((means2d[:, 0] + r + tile_w - 1) / tile_w), 0, tiles_x).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((means2d[:, 1] + r + tile_h - 1) / tile_h), 0, tiles_y).astype(jnp.int32)
     visible = radii > 0
+    if rect_r is not None:
+        visible = visible & (rect_r >= 0.0)
     spanx = jnp.where(visible, x1 - x0, 0)
     spany = jnp.where(visible, y1 - y0, 0)
     return x0, y0, spanx, spany
+
+
+def cull_radius(radii: Array, opacities: Array) -> Array:
+    """Opacity-aware cull radius: the distance beyond which alpha is
+    PROVABLY below the blend threshold, so dropping those entries cannot
+    change any backend's output.
+
+    Every backend skips contributions with alpha < 1/255 (ops/blend.py,
+    the reference rasterizer's skip rule). With lam_max the 2D covariance's
+    largest eigenvalue, alpha(d) = op * exp(-0.5 d^T Sigma^-1 d)
+    <= op * exp(-0.5 d^2 / lam_max) < 1/255 whenever
+    d^2 > 2 lam_max ln(255 op). Projection's radius = ceil(3 sqrt(lam_max))
+    gives the conservative sqrt(lam_max) <= radius/3. The 1.0001 factor
+    absorbs f32 rounding in the conservative direction. Returns -1 for
+    visible Gaussians whose PEAK alpha is below 1/255 (op <= 1/255): they
+    contribute nothing anywhere, their rect is empty.
+
+    Returns the UNCLIPPED safe distance: for op > exp(4.5)/255 ~ 0.353
+    it exceeds the 3-sigma radius (the 3-sigma BOX still contributes
+    alpha >= 1/255 along ellipse diagonals there) — the caller must clip
+    to ``radii`` for the rect (reference bbox truncation parity) but use
+    the unclipped value for the Euclidean corner test.
+    """
+    r = radii.astype(jnp.float32)
+    ln = jnp.log(jnp.maximum(255.0 * opacities, 1e-30))
+    rc = (r * (1.0 / 3.0)) * jnp.sqrt(2.0 * jnp.maximum(ln, 0.0)) * 1.0001
+    return jnp.where(ln > 0.0, rc, -1.0)
+
+
+CULL_COORD_MAX = 2048   # 11-bit packed mean coords; corner cull is
+                        # disabled (rect shrink stays) for larger images
+
+
+def _pack_cull(mx: Array, my: Array, rc: Array) -> Array:
+    """Pack the quantized corner-cull data into ONE int32 so the per-entry
+    broadcast is a single scatter+cumsum (each segment broadcast costs
+    ~2ms at garden scale; three f32 broadcasts made the cull a net loss).
+
+    Layout: 11b round(mx) | 11b round(my) | 9b ceil(rc/2) (2-px units).
+    Quantization slack is absorbed conservatively in _corner_cull_keep.
+    A mean outside [0, 2048) or rc < 0 disables the cull for that
+    Gaussian (max radius)."""
+    mxq = jnp.round(mx).astype(jnp.int32)
+    myq = jnp.round(my).astype(jnp.int32)
+    inb = ((mxq >= 0) & (mxq < CULL_COORD_MAX)
+           & (myq >= 0) & (myq < CULL_COORD_MAX) & (rc >= 0.0))
+    rcq = jnp.where(inb,
+                    jnp.minimum(jnp.ceil(rc * 0.5), 511).astype(jnp.int32),
+                    511)
+    mxq = jnp.clip(mxq, 0, CULL_COORD_MAX - 1)
+    myq = jnp.clip(myq, 0, CULL_COORD_MAX - 1)
+    return mxq | (myq << 11) | (rcq << 22)
+
+
+def _corner_cull_keep(e_tx, e_ty, packed2, tile_w: int, tile_h: int):
+    """Per-entry test: does the cull circle reach this tile at all?
+
+    Nearest pixel of tile (e_tx, e_ty) to the (quantized) mean; entries
+    whose nearest pixel lies outside the cull radius are provably
+    all-skip in the blend and can be dropped (rect corners: ~21% of a
+    large Gaussian's rect area). The +2 radius slack covers the 2-px rc
+    quantization and the half-pixel mean rounding — strictly
+    conservative."""
+    mxq = packed2 & 0x7FF
+    myq = (packed2 >> 11) & 0x7FF
+    rct = ((packed2 >> 22) & 0x1FF) * 2 + 2
+    txlo = e_tx * tile_w
+    tylo = e_ty * tile_h
+    dx = mxq - jnp.clip(mxq, txlo, txlo + (tile_w - 1))
+    dy = myq - jnp.clip(myq, tylo, tylo + (tile_h - 1))
+    return dx * dx + dy * dy <= rct * rct
 
 
 def isect_tile_rows(
@@ -97,6 +194,7 @@ def isect_tile_rows(
     tiles_y: int,        # tile rows per image (TILE_Y)
     n_row_slots: int,    # static row-slot buffer size (>= row_hi - row_lo)
     capacity: int,
+    opacities: Array = None,   # (M,) enables output-invariant tight culling
 ) -> TileIntersections:
     """Per-tile entry lists restricted to an owned global tile-row span.
 
@@ -110,13 +208,26 @@ def isect_tile_rows(
     """
     num_slots = n_row_slots * tiles_x
 
-    order = jnp.argsort(depths)
-    m2d = means2d[order]
-    rad = radii[order]
-    cam = cam_ids[order]
+    # depth order with attributes carried through the sort (no gathers;
+    # see isect_tiles step 1)
+    m = depths.shape[0]
+    iota = jnp.arange(m, dtype=jnp.int32)
+    if opacities is None:
+        _, mx, my, rad, cam, order = jax.lax.sort(
+            (depths, means2d[:, 0], means2d[:, 1], radii, cam_ids, iota),
+            num_keys=1)
+        rect_r = None
+    else:
+        _, mx, my, rad, cam, op, order = jax.lax.sort(
+            (depths, means2d[:, 0], means2d[:, 1], radii, cam_ids,
+             opacities, iota), num_keys=1)
+        rc_full = cull_radius(rad, op)
+        rect_r = jnp.where(rc_full < 0, rc_full,
+                           jnp.minimum(rc_full, rad.astype(jnp.float32)))
+    m2d = jnp.stack([mx, my], axis=-1)
 
     x0, y0, spanx, spany = gaussian_tile_rect(m2d, rad, tile_w, tile_h,
-                                              tiles_x, tiles_y)
+                                              tiles_x, tiles_y, rect_r)
     # clip the tile-row span to the owned window of this entry's camera
     ty_lo = jnp.maximum(y0, row_lo - cam * tiles_y)
     ty_hi = jnp.minimum(y0 + spany, row_hi - cam * tiles_y)
@@ -147,14 +258,17 @@ def isect_tile_rows(
     tx = x0b + dx
     slot = (camb * tiles_y + ty - row_lo) * tiles_x + tx
     valid = (e < total) & (slot >= 0) & (slot < num_slots)
+    if opacities is not None and tiles_x * tile_w <= CULL_COORD_MAX \
+            and tiles_y * tile_h <= CULL_COORD_MAX:
+        p2 = _segment_broadcast(_pack_cull(mx, my, rc_full), seg_starts,
+                                capacity)
+        valid = valid & _corner_cull_keep(tx, ty, p2, tile_w, tile_h)
     slot = jnp.where(valid, slot, num_slots).astype(jnp.int32)
 
     slot_sorted, gid_sorted = jax.lax.sort_key_val(slot, gid, is_stable=True)
-    counts_per = jnp.zeros((num_slots + 1,), jnp.int32).at[
-        jnp.clip(slot, 0, num_slots)].add(1)
-    tile_offsets = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_per[:num_slots])]
-    ).astype(jnp.int32)
+    tile_offsets = jnp.searchsorted(
+        slot_sorted, jnp.arange(num_slots + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
 
     return TileIntersections(
         gauss_ids=gid_sorted,
@@ -173,6 +287,7 @@ def isect_tile_rows_blocked(
     tiles_x: int,
     tiles_y: int,
     capacity: int,       # total; per-camera block = capacity // n_cams
+    opacities: Array = None,  # (B*N,) enables output-invariant tight culling
 ) -> BlockedTileIntersections:
     """Whole-batch entry lists with a STATIC per-camera entry block.
 
@@ -201,14 +316,23 @@ def isect_tile_rows_blocked(
     # camera blocks contiguous in owner-major order (camera c's Gaussians
     # occupy owner positions [c*N, (c+1)*N) — static boundaries).
     cam_of_univ = (jnp.arange(m, dtype=jnp.int32) // n_univ)
-    _, _, order = jax.lax.sort(
-        (cam_of_univ, depths, jnp.arange(m, dtype=jnp.int32)), num_keys=2)
-    m2d = means2d[order]
-    rad = radii[order]
+    if opacities is None:
+        _, _, mx, my, rad, order = jax.lax.sort(
+            (cam_of_univ, depths, means2d[:, 0], means2d[:, 1], radii,
+             jnp.arange(m, dtype=jnp.int32)), num_keys=2)
+        rect_r = None
+    else:
+        _, _, mx, my, rad, op, order = jax.lax.sort(
+            (cam_of_univ, depths, means2d[:, 0], means2d[:, 1], radii,
+             opacities, jnp.arange(m, dtype=jnp.int32)), num_keys=2)
+        rc_full = cull_radius(rad, op)
+        rect_r = jnp.where(rc_full < 0, rc_full,
+                           jnp.minimum(rc_full, rad.astype(jnp.float32)))
+    m2d = jnp.stack([mx, my], axis=-1)
 
     # 2. tile rects + per-camera entry positions
     x0, y0, spanx, spany = gaussian_tile_rect(
-        m2d, rad, tile_w, tile_h, tiles_x, tiles_y)
+        m2d, rad, tile_w, tile_h, tiles_x, tiles_y, rect_r)
     counts = spanx * spany
     cum = jnp.cumsum(counts)
     cam_of_g = cam_of_univ                    # owner-major camera (static)
@@ -249,6 +373,11 @@ def isect_tile_rows_blocked(
     valid_end = cam_e * block + jnp.repeat(
         jnp.minimum(cam_tot, block).astype(jnp.int32), block)
     valid = e < valid_end
+    if opacities is not None and tiles_x * tile_w <= CULL_COORD_MAX \
+            and tiles_y * tile_h <= CULL_COORD_MAX:
+        p2 = _segment_broadcast(_pack_cull(mx, my, rc_full), starts_eff,
+                                capacity)
+        valid = valid & _corner_cull_keep(tx, ty, p2, tile_w, tile_h)
     slot_local = ty * tiles_x + tx
     ekey = jnp.where(valid, cam_e * (numt + 1) + slot_local,
                      cam_e * (numt + 1) + numt).astype(jnp.int32)
@@ -257,13 +386,12 @@ def isect_tile_rows_blocked(
     # 3. stable sort by extended key: each block's keys stay inside the
     # block's key range and every block holds exactly `block` entries, so
     # camera blocks remain at static entry offsets after the global sort
-    _, gid_sorted = jax.lax.sort_key_val(ekey, gid_val, is_stable=True)
+    ekey_sorted, gid_sorted = jax.lax.sort_key_val(
+        ekey, gid_val, is_stable=True)
 
-    counts_per = jnp.zeros((kspace + 1,), jnp.int32).at[
-        jnp.clip(ekey, 0, kspace)].add(1)
-    offs_ext = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_per[:kspace])]
-    ).astype(jnp.int32)
+    offs_ext = jnp.searchsorted(
+        ekey_sorted, jnp.arange(kspace + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
     s = jnp.arange(num_slots, dtype=jnp.int32)
     key_s = s + s // numt                     # skip each camera's sentinel
     tile_lo = offs_ext[key_s]
@@ -286,16 +414,33 @@ def isect_tiles(
     tiles_x: int,
     tiles_y: int,
     capacity: int,
+    opacities: Array = None,   # (N,) enables output-invariant tight culling
 ) -> TileIntersections:
     num_tiles = tiles_x * tiles_y
+    n = depths.shape[0]
 
-    # 1. depth order (culled Gaussians have depth=+inf already)
-    order = jnp.argsort(depths)
-    m2d = means2d[order]
-    rad = radii[order]
+    # 1. depth order (culled Gaussians have depth=+inf already). The
+    # needed per-Gaussian attributes ride through the sorting network as
+    # extra value operands: a variadic sort moves data in sequential
+    # blocks, while argsort + x[order] pays a random-row gather
+    # (~10ns/row on TPU; measured 8.2ms vs 3.0ms at N=262k, round 2).
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if opacities is None:
+        _, mx, my, rad, order = jax.lax.sort(
+            (depths, means2d[:, 0], means2d[:, 1], radii, iota), num_keys=1)
+        rect_r = None
+    else:
+        _, mx, my, rad, op, order = jax.lax.sort(
+            (depths, means2d[:, 0], means2d[:, 1], radii, opacities, iota),
+            num_keys=1)
+        rc_full = cull_radius(rad, op)
+        rect_r = jnp.where(rc_full < 0, rc_full,
+                           jnp.minimum(rc_full, rad.astype(jnp.float32)))
+    m2d = jnp.stack([mx, my], axis=-1)
 
-    # 2. tile rects in depth order
-    x0, y0, spanx, spany = gaussian_tile_rect(m2d, rad, tile_w, tile_h, tiles_x, tiles_y)
+    # 2. tile rects in depth order (opacity-tightened when enabled)
+    x0, y0, spanx, spany = gaussian_tile_rect(
+        m2d, rad, tile_w, tile_h, tiles_x, tiles_y, rect_r)
     counts = spanx * spany
     cum = jnp.cumsum(counts)                       # inclusive
     total = cum[-1]
@@ -320,17 +465,25 @@ def isect_tiles(
     ty = y0b + dy
     tx = x0b + dx
     valid = e < total
+    if opacities is not None and tiles_x * tile_w <= CULL_COORD_MAX \
+            and tiles_y * tile_h <= CULL_COORD_MAX:
+        # corner cull: an entry whose tile lies entirely outside the cull
+        # circle is all-skip in the blend — drop it to the sentinel so the
+        # kernel never walks it (output-invariant, see cull_radius)
+        p2 = _segment_broadcast(_pack_cull(mx, my, rc_full), seg_starts,
+                                capacity)
+        valid = valid & _corner_cull_keep(tx, ty, p2, tile_w, tile_h)
     tile = jnp.where(valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
 
     # 4. stable sort by tile id, carrying the original Gaussian index
     tile_sorted, gid_sorted = jax.lax.sort_key_val(tile, gid, is_stable=True)
 
-    # 5. per-tile offsets via bincount + cumsum (no search)
-    counts_per = jnp.zeros((num_tiles + 1,), jnp.int32).at[
-        jnp.clip(tile, 0, num_tiles)].add(1)
-    tile_offsets = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts_per[:num_tiles])]
-    ).astype(jnp.int32)
+    # 5. per-tile offsets: binary-search the sorted keys. O(T log E) with
+    # T ~ 4k tiles beats the scatter-add histogram over E ~ 1M entries
+    # (8.6ms vs 3.8ms at E=917k, round 2).
+    tile_offsets = jnp.searchsorted(
+        tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
 
     return TileIntersections(
         gauss_ids=gid_sorted,

@@ -271,6 +271,7 @@ def _render_owned_rows(
             means2d, radii, depths, cfg.bsz,
             cfg.tile_w, cfg.tile_h, tiles_x, tiles_y,
             capacity=cfg.isect_capacity,
+            opacities=opacs,
         )
         colors, t_final = rasterize_slots_pl(
             means2d, conics, rgbs, opacs,
@@ -285,6 +286,7 @@ def _render_owned_rows(
             means2d, radii, depths, cams, row_lo, row_hi,
             cfg.tile_w, cfg.tile_h, tiles_x, tiles_y,
             r_slots, cfg.isect_capacity,
+            opacities=opacs,
         )
         if cfg.backend == "pallas":
             from ..ops.rasterize_pallas import rasterize_slots_pl

@@ -124,7 +124,7 @@ def main():
         h, w, sh_degree))(params, alive, ca0)
     n_isect = int(jax.jit(lambda s: isect_tiles(
         s.means2d, s.radii, s.depths, 16, 16, -(-w // 16), -(-h // 16),
-        1 << 22).num_isects)(sp0))
+        1 << 22, opacities=s.opacities).num_isects)(sp0))
     nt = max(int(1.3 * n_isect), 1 << 14)
     k = max(int(np.floor(np.log2(nt))) - 3, 7)
     isect_cap = -(-nt // (1 << k)) << k
@@ -170,7 +170,8 @@ def main():
     def isect_only(sp):
         return isect_tiles(sp.means2d, sp.radii, sp.depths,
                            cfg.tile_w, cfg.tile_h, cfg.tiles_x, cfg.tiles_y,
-                           capacity=cfg.isect_capacity)
+                           capacity=cfg.isect_capacity,
+                           opacities=sp.opacities)
 
     isect = isect_only(splats0)
     times["isect"] = timeit(isect_only, splats0, steps=a.steps) * bsz

@@ -255,3 +255,63 @@ def test_capacity_overflow_drops_are_benign():
     # sparse + translucent: a 10% far-tail cut still degrades gracefully
     q_sparse = drop_psnr(2000, (0.3, 0.95), (-4.5, -2.5), frac=0.9, key=7)
     assert q_sparse > 27.0, f"sparse-scene 10% drop visible: {q_sparse:.1f}dB"
+
+
+class TestTightCulling:
+    """Opacity-aware tight culling (isect_tiles(opacities=...)) must be
+    OUTPUT-INVARIANT: every culled entry has alpha < 1/255 at every pixel
+    of its tile, which all backends skip anyway (ops/blend.py)."""
+
+    def test_image_and_grads_invariant(self):
+        cam, _, splats = _scene(n=384, w=96, h=64, key=jax.random.PRNGKey(7))
+        # force a wide opacity spread so the cull actually bites
+        op = jax.random.uniform(jax.random.PRNGKey(8),
+                                splats.opacities.shape, minval=0.0,
+                                maxval=1.0)
+        splats = splats._replace(
+            opacities=jnp.where(splats.radii > 0, op, 0.0))
+        tx, ty = -(-cam.width // 16), -(-cam.height // 16)
+        bg = jnp.zeros(3)
+
+        def render(culled: bool, s):
+            isect = isect_tiles(
+                s.means2d, s.radii, s.depths, 16, 16, tx, ty, 16384,
+                opacities=s.opacities if culled else None)
+            img, _ = rasterize_tiles(s, isect, cam.height, cam.width,
+                                     16, 16, bg, 2048, 64)
+            return img, isect
+
+        img0, is0 = render(False, splats)
+        img1, is1 = render(True, splats)
+        # the cull must actually remove entries on this scene...
+        kept0 = int(is0.tile_offsets[-1])
+        kept1 = int(is1.tile_offsets[-1])
+        assert kept1 < kept0, (kept0, kept1)
+        # ...without changing the image at all
+        np.testing.assert_allclose(np.asarray(img0), np.asarray(img1),
+                                   rtol=0, atol=1e-6)
+
+        def loss(s, culled):
+            img, _ = render(culled, s)
+            return jnp.sum(img * img)
+
+        g0 = jax.grad(lambda m, o: loss(
+            splats._replace(means2d=m, opacities=o), False))(
+                splats.means2d, splats.opacities)
+        g1 = jax.grad(lambda m, o: loss(
+            splats._replace(means2d=m, opacities=o), True))(
+                splats.means2d, splats.opacities)
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=1e-5)
+
+    def test_peak_below_threshold_fully_culled(self):
+        cam, _, splats = _scene(n=64)
+        # opacity below 1/255 everywhere -> empty entry lists
+        splats = splats._replace(
+            opacities=jnp.full_like(splats.opacities, 1.0 / 300.0))
+        tx, ty = -(-cam.width // 16), -(-cam.height // 16)
+        isect = isect_tiles(splats.means2d, splats.radii, splats.depths,
+                            16, 16, tx, ty, 8192,
+                            opacities=splats.opacities)
+        assert int(isect.num_isects) == 0
