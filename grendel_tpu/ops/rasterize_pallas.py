@@ -59,6 +59,15 @@ T_EPS = 1e-4
 PAYLOAD_W = 16
 CHUNK = 128
 
+# Backward-kernel pixel-axis reductions on the MXU (ones-row matmul)
+# instead of log-step sublane rolls. The MXU rounds f32 through bf16, so
+# this perturbs GRADIENTS only (forward stays exact f32); relative error
+# is ~1e-3 — inside the cross-backend hardware tolerance band already
+# accepted by tests/test_tpu_hw.py, and far below what Adam training
+# tolerates. Set GRENDEL_EXACT_BWD_REDUCE=1 to force exact VPU sums.
+import os as _os
+_MXU_BWD_REDUCE = _os.environ.get("GRENDEL_EXACT_BWD_REDUCE", "0") != "1"
+
 
 def _cumsum_lanes(x):
     """Inclusive prefix sum along the last (lane) axis via log-step rolls."""
@@ -285,6 +294,9 @@ def _bwd_kernel(
         # prefix scan of w * (g . c) suffices (instead of one per channel).
         c_dot_g = rgb[0:1, :] * g_r + rgb[1:2, :] * g_g + rgb[2:3, :] * g_b
         wc = w * c_dot_g
+        # NB: this prefix sum must stay exact f32 — it feeds the
+        # cancellation ctg - s_incl, where bf16 MXU rounding measurably
+        # corrupts d_alpha (median m2d grad error >1e-4 on hardware)
         s_incl = s_pref + _cumsum_lanes(wc)                 # (P, K)
         b_dot_g = ctg - s_incl
         inv_om = _precise_recip(one_minus)
@@ -296,29 +308,39 @@ def _bwd_kernel(
         not_clamped = (chunk[8:9, :] * g_exp) < ALPHA_CLAMP
         live = (alpha > 0.0) & not_clamped
         d_alpha = jnp.where(live, d_alpha, 0.0)
-        d_o = jnp.sum(d_alpha * g_exp, axis=0, keepdims=True)
         d_power = d_alpha * alpha                            # o e^p == alpha
         ca = chunk[2:3, :]
         cb = chunk[3:4, :]
         cc = chunk[4:5, :]
-        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
-        d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
-        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
         d_dx = d_power * (-ca * dx - cb * dy)
         d_dy = d_power * (-cc * dy - cb * dx)
-        d_x = jnp.sum(-d_dx, axis=0, keepdims=True)          # dx = px - x
-        d_y = jnp.sum(-d_dy, axis=0, keepdims=True)
-        # exact f32 VPU reductions (MXU would round through bf16)
-        d_rgb = jnp.concatenate(
-            [jnp.sum(w * g_r, axis=0, keepdims=True),
-             jnp.sum(w * g_g, axis=0, keepdims=True),
-             jnp.sum(w * g_b, axis=0, keepdims=True)], axis=0)   # (3, K)
-
-        d_chunk = jnp.concatenate(
-            [d_x, d_y, d_ca, d_cb, d_cc, d_rgb, d_o,
-             jnp.zeros((PAYLOAD_W - 9, CHUNK), jnp.float32)],
-            axis=0,
-        )
+        terms = [
+            -d_dx,                          # d_x   (dx = px - x)
+            -d_dy,                          # d_y
+            d_power * (-0.5 * dx * dx),     # d_ca
+            d_power * (-dx * dy),           # d_cb
+            d_power * (-0.5 * dy * dy),     # d_cc
+            w * g_r, w * g_g, w * g_b,      # d_rgb
+            d_alpha * g_exp,                # d_o
+        ]
+        if _MXU_BWD_REDUCE:
+            # one (1, P) x (P, 9K) MXU matmul replaces nine log-step
+            # sublane reduction trees (~38% of the bwd kernel's vector
+            # issues; gradients round through bf16 — see module note)
+            stacked = jnp.concatenate(terms, axis=1)           # (P, 9K)
+            ones_row = jnp.ones((1, p), jnp.float32)
+            summed = jax.lax.dot_general(
+                ones_row, stacked, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (1, 9K)
+            rows = summed.reshape(9, CHUNK)
+            d_chunk = jnp.concatenate(
+                [rows, jnp.zeros((PAYLOAD_W - 9, CHUNK), jnp.float32)],
+                axis=0)
+        else:
+            rows = [jnp.sum(t_, axis=0, keepdims=True) for t_ in terms]
+            d_chunk = jnp.concatenate(
+                rows + [jnp.zeros((PAYLOAD_W - 9, CHUNK), jnp.float32)],
+                axis=0)
         t_in = jnp.min(jnp.where(include, t_after, t_in), axis=1,
                        keepdims=True)
         s_pref = s_pref + jnp.sum(wc, axis=1, keepdims=True)

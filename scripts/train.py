@@ -104,6 +104,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train on a generated synthetic scene (smoke test)")
     p.add_argument("--synthetic_size", type=str, default="160x120",
                    help="WxH of the synthetic scene")
+    p.add_argument("--synthetic_gaussians", type=int, default=400)
+    p.add_argument("--synthetic_points", type=int, default=300)
     return p
 
 
@@ -192,7 +194,9 @@ def main():
 
         w, h = (int(x) for x in a.synthetic_size.split("x"))
         scene = SyntheticScene(width=w, height=h, sh_degree=min(a.sh_degree, 1),
-                               seed=a.seed)
+                               seed=a.seed,
+                               n_gaussians=a.synthetic_gaussians,
+                               n_init_points=a.synthetic_points)
     else:
         from grendel_tpu.data import Scene
 
