@@ -55,14 +55,23 @@ def batch_loss(
     lr_scale_loss: float = 1.0,
 ) -> Tuple[Array, Array]:
     """Sum of per-camera losses (ref: batched_loss_computation,
-    loss_distribution.py:2588-2637). Returns (loss_sum, (B, 2) [l1, ssim])."""
-    import jax
+    loss_distribution.py:2588-2637). Returns (loss_sum, (B, 2) [l1, ssim]).
 
-    def one(img, gt, mask):
-        return camera_loss(img, gt, lambda_dssim, mask, global_pixels)
-
-    if masks is None:
-        losses, l1s, ssims = jax.vmap(lambda i, g: one(i, g, None))(images, gts)
-    else:
-        losses, l1s, ssims = jax.vmap(one)(images, gts, masks)
+    The batch folds into the blur's channel axis instead of a vmap over
+    cameras: vmapping the separable blur turns its dynamic slices into
+    batched gathers (measured 2.4x the flat cost at garden resolution);
+    the blur is channel-independent, so (B,3,H,W) -> (B*3,H,W) is exact.
+    """
+    b, c, h, w = images.shape
+    denom = 3.0 * (global_pixels if global_pixels is not None else h * w)
+    s_map = ssim_map(images.reshape(b * c, h, w),
+                     gts.reshape(b * c, h, w)).reshape(b, c, h, w)
+    l1_map = jnp.abs(images - gts)
+    if masks is not None:
+        m = masks.astype(jnp.float32)[:, None]
+        s_map = s_map * m
+        l1_map = l1_map * m
+    l1s = jnp.sum(l1_map, axis=(1, 2, 3)) / denom
+    ssims = jnp.sum(s_map, axis=(1, 2, 3)) / denom
+    losses = (1.0 - lambda_dssim) * l1s + lambda_dssim * (1.0 - ssims)
     return jnp.sum(losses) * lr_scale_loss, jnp.stack([l1s, ssims], axis=-1)
