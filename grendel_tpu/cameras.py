@@ -13,12 +13,17 @@ CPU-resident ``original_image_backup`` design.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Callable, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from .utils.math3d import world_to_view, perspective_projection
+
+# Count of on-demand GT decodes across all cameras (observability for the
+# distributed-dataset-storage policy: a host that stores only its stride of
+# the dataset decodes the rest lazily; tests assert on this counter).
+LAZY_DECODE_COUNT = [0]
 
 
 @dataclasses.dataclass
@@ -36,12 +41,26 @@ class Camera:
     zfar: float = 100.0
     trans: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
     scale: float = 1.0
+    # --distributed_dataset_storage: cameras NOT stored on this host keep
+    # gt_image_u8=None and carry a decoder instead; gt() decodes on demand
+    # without caching (the reference's analogue stores GT only on node
+    # rank 0, scene/cameras.py:52-73, and P2P-ships row slices per step)
+    gt_loader: Optional[Callable[[], np.ndarray]] = None
 
     def __post_init__(self):
         self.world_view = world_to_view(self.R, self.T, self.trans, self.scale)
         proj = perspective_projection(self.znear, self.zfar, self.fovx, self.fovy)
         self.full_proj = (proj @ self.world_view).astype(np.float32)
         self.camera_center = np.linalg.inv(self.world_view)[:3, 3].astype(np.float32)
+
+    def gt(self) -> Optional[np.ndarray]:
+        """GT image, decoding on demand for lazily-stored cameras."""
+        if self.gt_image_u8 is not None:
+            return self.gt_image_u8
+        if self.gt_loader is not None:
+            LAZY_DECODE_COUNT[0] += 1
+            return self.gt_loader()
+        return None
 
     @property
     def tanfovx(self) -> float:

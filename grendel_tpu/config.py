@@ -101,6 +101,18 @@ class DistributionConfig:
     redistribute_gaussians_mode: str = "random_redistribute"  # | "no_redistribute"
     redistribute_gaussians_frequency: int = 10
     redistribute_gaussians_threshold: float = 1.1
+    # replicated-mode (gaussians_distribution=False) gradient handling
+    # (ref arguments/__init__.py:156-157). sync_grad_mode is parsed for
+    # parity but all four reference variants are one dense psum here (XLA
+    # emits the fused allreduce the "fused_dense" variant hand-builds;
+    # sparse variants only pay off over NCCL's per-tensor launches).
+    sync_grad_mode: str = "dense"
+    # "none" | "divide_by_visible_count" | "multiply_by_visible_count" |
+    # "square_multiply_by_visible_count" — per-Gaussian normalization of the
+    # synced gradient by the batch-wide visible count (ref
+    # gaussian_model.py:364-394; NB the reference computes the count but its
+    # application path is vestigial — we apply the named semantics).
+    grad_normalization_mode: str = "none"
 
     bsz: int = 1
     distributed_dataset_storage: bool = True

@@ -86,6 +86,12 @@ def camera_from_info(uid: int, info: CameraInfo, decode: bool = True,
         width=w,
         height=h,
         gt_image_u8=decode_image(info, size=size) if decode else None,
+        # non-stored cameras can still decode on demand (Camera.gt()) —
+        # correctness is preserved when the load balancer routes one of
+        # their rows to this host (ref stores GT on node rank 0 only and
+        # ships row slices per step, loss_distribution.py:2444-2532)
+        gt_loader=(None if decode
+                   else lambda info=info, size=size: decode_image(info, size)),
     )
 
 

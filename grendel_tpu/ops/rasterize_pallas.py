@@ -125,6 +125,10 @@ def _chunk_alpha(chunk, px, py, lane_keep):
     chunk: (16, K) attribute rows; px/py: (P, 1); ``lane_keep`` (1, K)
     masks lanes outside this tile's [lo, hi_eff) span (compact layout:
     a chunk may carry neighbors' entries and max_per_tile-capped tails).
+
+    Also returns e_pow = exp(power) so the backward reuses the forward's
+    transcendental (power <= 0 is tested as e_pow <= 1, exact by
+    monotonicity).
     """
     x = chunk[0:1, :]          # (1, K)
     y = chunk[1:2, :]
@@ -135,9 +139,10 @@ def _chunk_alpha(chunk, px, py, lane_keep):
     dx = px - x                # (P, K)
     dy = py - y
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    alpha = jnp.minimum(ALPHA_CLAMP, op * jnp.exp(power))
-    keep = (power <= 0.0) & (alpha >= ALPHA_MIN) & lane_keep
-    return jnp.where(keep, alpha, 0.0), dx, dy, power
+    e_pow = jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_CLAMP, op * e_pow)
+    keep = (e_pow <= 1.0) & (alpha >= ALPHA_MIN) & lane_keep
+    return jnp.where(keep, alpha, 0.0), dx, dy, e_pow
 
 
 def _span_lane_keep(q, lo, hi_eff):
@@ -280,7 +285,7 @@ def _bwd_kernel(
     def grads_of_chunk(c, t_in, s_pref):
         chunk = chunk_vmem[c % 2]
         lane_keep = _span_lane_keep(c0 + c, lo, hi_eff)
-        alpha, dx, dy, power = _chunk_alpha(chunk, px, py, lane_keep)
+        alpha, dx, dy, g_exp = _chunk_alpha(chunk, px, py, lane_keep)
         one_minus = 1.0 - alpha                            # >= 0.01
         cump = _cumprod_lanes(one_minus)
         t_after = t_in * cump
@@ -304,7 +309,7 @@ def _bwd_kernel(
             include, t_before * c_dot_g - inv_om * (b_dot_g + gt), 0.0)
 
         # alpha = min(0.99, o * exp(power)); clamped/skipped entries get 0.
-        g_exp = jnp.exp(power)
+        # (g_exp reused from the alpha evaluation — no second exp)
         not_clamped = (chunk[8:9, :] * g_exp) < ALPHA_CLAMP
         live = (alpha > 0.0) & not_clamped
         d_alpha = jnp.where(live, d_alpha, 0.0)
@@ -428,6 +433,9 @@ def _build_payload(means2d, conics, colors, opacities, gauss_ids):
     """
     n = means2d.shape[0]
     cap = gauss_ids.shape[0]
+    # a zero SENTINEL row at index n absorbs invalid ids (min() instead of
+    # clip+where: the masked select was a separate 3ms pass over the 64MB
+    # gather output at garden scale — traced round 3)
     table = jnp.concatenate(
         [
             means2d, conics, colors, opacities[:, None],
@@ -435,9 +443,9 @@ def _build_payload(means2d, conics, colors, opacities, gauss_ids):
         ],
         axis=-1,
     )                                                     # (N, 16)
-    ok = gauss_ids < n
-    ids_c = jnp.clip(gauss_ids, 0, n - 1)
-    rows = jnp.where(ok[:, None], table[ids_c], 0.0)      # (cap, 16)
+    table = jnp.concatenate(
+        [table, jnp.zeros((1, PAYLOAD_W), jnp.float32)], axis=0)
+    rows = table[jnp.minimum(gauss_ids, n)]               # (cap, 16)
     return rows.reshape(cap // CHUNK, CHUNK, PAYLOAD_W).transpose(0, 2, 1)
 
 

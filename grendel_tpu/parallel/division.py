@@ -146,13 +146,22 @@ def pack_gt_rows(
     image bottom are zero; the device step masks them out."""
     tiles_y = -(-img_h // tile_h)
     out = np.zeros((n_devices, max_rows, 3, tile_h, img_w), np.uint8)
+    decoded: Dict[int, Optional[np.ndarray]] = {}   # lazy-decode once per camera
     for d in range(n_devices):
         lo, hi = int(division_pos[d]), int(division_pos[d + 1])
         for slot, row in enumerate(range(lo, hi)):
             if slot >= max_rows:
                 break
             b, ty = divmod(row, tiles_y)
-            img = gt_override[b] if gt_override is not None else cams[b].gt_image_u8
+            if gt_override is not None:
+                img = gt_override[b]
+            else:
+                if b not in decoded:
+                    # Camera.gt() decodes on demand for cameras this host
+                    # does not store (--distributed_dataset_storage); only
+                    # cameras with rows in the packed spans are touched
+                    decoded[b] = cams[b].gt()
+                img = decoded[b]
             if img is None:
                 continue
             y0 = ty * tile_h

@@ -130,8 +130,10 @@ def build_redistribute(mesh: Mesh, n_devices: int, send_cap: int):
             count=adam.count,
         )
         new_alive = stay.at[dst].set(True, mode="drop")
-        info = jnp.stack([n_sent, send_overflow, recv_dropped]).astype(
-            jnp.int32)[None]
+        # replicated (D, 3) so every multi-host process can fetch it
+        info = jax.lax.all_gather(
+            jnp.stack([n_sent, send_overflow, recv_dropped]).astype(
+                jnp.int32), AXIS)
         return new_params, new_alive, new_adam, info
 
     p_params = GaussianParams(*(P(AXIS) for _ in GaussianParams._fields))
@@ -140,6 +142,6 @@ def build_redistribute(mesh: Mesh, n_devices: int, send_cap: int):
         shard_fn,
         mesh=mesh,
         in_specs=(p_params, P(AXIS), adam_spec, P()),
-        out_specs=(p_params, P(AXIS), adam_spec, P(AXIS)),
+        out_specs=(p_params, P(AXIS), adam_spec, P()),
         check_vma=False,
     ))

@@ -420,6 +420,33 @@ def _local_forward(
     return partial, aux
 
 
+def normalize_grads_by_visibility(
+    grads: GaussianParams,
+    radii: Array,        # (B, N) int32; > 0 = visible in that view
+    mode: str,
+) -> GaussianParams:
+    """Replicated-mode per-Gaussian gradient normalization by the number of
+    batch views the Gaussian is visible in (ref --grad_normalization_mode,
+    arguments/__init__.py:157 + gaussian_model.py:364-394 — NB the
+    reference computes the visibility-count sum but its application path is
+    vestigial; we apply the named semantics). Every device projects the
+    full batch in replicated mode, so the count is device-identical and no
+    collective is needed."""
+    if mode == "none":
+        return grads
+    vis = jnp.sum(radii > 0, axis=0).astype(jnp.float32)       # (N,)
+    if mode == "divide_by_visible_count":
+        factor = 1.0 / jnp.maximum(vis, 1.0)
+    elif mode == "multiply_by_visible_count":
+        factor = vis
+    elif mode == "square_multiply_by_visible_count":
+        factor = vis * vis
+    else:
+        raise ValueError(f"unknown grad_normalization_mode {mode!r}")
+    return jax.tree.map(
+        lambda g: g * factor.reshape((-1,) + (1,) * (g.ndim - 1)), grads)
+
+
 # --------------------------------------------------------------------------
 # the sharded trainer
 # --------------------------------------------------------------------------
@@ -510,6 +537,7 @@ class ShardedTrainer:
         xyz_sched: XyzLrSchedule,
         lr_scale_mode: str = "sqrt",
         lr_scale_loss: float = 1.0,
+        grad_normalization_mode: str = "none",
     ):
         self.mesh = mesh
         self.cfg = cfg
@@ -519,6 +547,7 @@ class ShardedTrainer:
         self.xyz_sched = xyz_sched
         self.lr_scale_mode = lr_scale_mode
         self.lr_scale_loss = lr_scale_loss
+        self.grad_normalization_mode = grad_normalization_mode
         # reserved HBM bytes of the compiled step (temp+args+outs), filled
         # from XLA's memory analysis after the first execution — see
         # utils/hbm.py (the runtime's memory_stats can be empty on TPU)
@@ -547,6 +576,7 @@ class ShardedTrainer:
         sched = self.xyz_sched
         lr_scale_mode = self.lr_scale_mode
         lr_scale_loss = self.lr_scale_loss
+        grad_norm_mode = self.grad_normalization_mode
         bsz = cfg.bsz
 
         cam_spec = CameraArrays(viewmat=P(), full_proj=P(), campos=P(), tanfov=P())
@@ -579,6 +609,11 @@ class ShardedTrainer:
                 # covers its own pixel rows
                 grads = jax.lax.psum(grads, AXIS)
                 tap_grad = jax.lax.psum(tap_grad, AXIS)
+                # tap_grad stays raw: densify stats use the un-normalized
+                # means2d gradient (ref add_densification_stats,
+                # gaussian_model.py:1046-1064)
+                grads = normalize_grads_by_visibility(
+                    grads, aux["radii"], grad_norm_mode)
 
             if lr_scale_mode != "accumu":
                 grads = jax.tree.map(lambda g: g / bsz, grads)
@@ -718,15 +753,19 @@ class ShardedTrainer:
                 info_arr = jnp.stack(
                     [info.n_cloned, info.n_split, info.n_pruned,
                      info.n_dropped, info.n_alive]
-                ).astype(jnp.int32)[None]      # (1, 5) -> stacked to (D, 5)
-                return p, a, ad, st, info_arr
+                ).astype(jnp.int32)            # (5,)
+                # all-gather to REPLICATED (D, 5): under multi-host every
+                # process must be able to fetch the full info table (a
+                # P('d')-sharded output spans non-addressable devices)
+                info_rep = jax.lax.all_gather(info_arr, AXIS)
+                return p, a, ad, st, info_rep
 
             return jax.jit(shard_map(
                 densify_shard,
                 mesh=self.mesh,
                 in_specs=(p_params, ax, adam_spec, stats_spec,
                           P(), P(), P(), P(), P()),
-                out_specs=(p_params, ax, adam_spec, stats_spec, P(AXIS)),
+                out_specs=(p_params, ax, adam_spec, stats_spec, P()),
                 check_vma=False,
             ))
 

@@ -67,6 +67,14 @@ def build_parser() -> argparse.ArgumentParser:
                    default=1.1)
     p.add_argument("--distributed_dataset_storage", type=int, default=1)
     p.add_argument("--distributed_save", type=int, default=1)
+    p.add_argument("--sync_grad_mode", type=str, default="dense",
+                   choices=["dense", "sparse", "fused_dense", "fused_sparse"],
+                   help="replicated-mode grad sync; all variants are one "
+                        "dense psum on TPU (parsed for parity)")
+    p.add_argument("--grad_normalization_mode", type=str, default="none",
+                   choices=["none", "divide_by_visible_count",
+                            "multiply_by_visible_count",
+                            "square_multiply_by_visible_count"])
     p.add_argument("--local_sampling", action="store_true")
     p.add_argument("--preload_dataset_to_gpu", action="store_true")
     p.add_argument("--preload_dataset_to_gpu_threshold", type=int, default=10,
@@ -145,6 +153,8 @@ def args_to_config(a):
     d.redistribute_gaussians_threshold = a.redistribute_gaussians_threshold
     d.distributed_dataset_storage = bool(a.distributed_dataset_storage)
     d.distributed_save = bool(a.distributed_save)
+    d.sync_grad_mode = a.sync_grad_mode
+    d.grad_normalization_mode = a.grad_normalization_mode
     d.local_sampling = a.local_sampling
     d.preload_dataset_to_gpu = a.preload_dataset_to_gpu
     d.preload_dataset_to_gpu_threshold = a.preload_dataset_to_gpu_threshold
@@ -161,6 +171,34 @@ def args_to_config(a):
     cfg.log_interval = a.log_interval
     cfg.enable_timer = a.enable_timer
     return cfg.finalize()
+
+
+def make_decode_mask(cfg, devices):
+    """Per-host GT decode/storage policy for --distributed_dataset_storage.
+
+    The reference stores GT images only on node-local rank 0 and P2P-ships
+    row slices per step (scene/cameras.py:52-73, utils/camera_utils.py:
+    37-49). Here each host decodes a subset at load time and any other
+    camera decodes lazily at pack time (Camera.gt()):
+      * local_sampling: only cameras of this host's device groups
+        (uid % D in the mesh positions of its addressable devices) — those
+        are the only cameras whose rows its devices ever render;
+      * otherwise: process-strided storage (uid % P == process_index); the
+        balancer can route any camera's rows anywhere, so the stride bounds
+        resident memory at dataset/P and the lazy path covers the rest.
+    Returns None (decode everything) off the multi-process path.
+    """
+    import jax
+
+    if not cfg.dist.distributed_dataset_storage or jax.process_count() == 1:
+        return None
+    procs, pidx = jax.process_count(), jax.process_index()
+    if cfg.dist.local_sampling:
+        local_pos = {i for i, dev in enumerate(devices)
+                     if dev.process_index == pidx}
+        d_count = len(devices)
+        return lambda i, ci: (i % d_count) in local_pos
+    return lambda i, ci: (i % procs) == pidx
 
 
 def main():
@@ -189,6 +227,11 @@ def main():
     if cfg.auto_start_checkpoint and cfg.start_checkpoint is None:
         cfg.start_checkpoint = find_latest_checkpoint(cfg.model.model_path)
 
+    devices = jax.devices()
+    if a.n_devices > 0:
+        devices = devices[: a.n_devices]
+    ws = len(devices)
+
     if a.synthetic:
         from grendel_tpu.testing import SyntheticScene
 
@@ -205,12 +248,14 @@ def main():
             llffhold=a.llffhold, white_background=a.white_background,
             num_train=a.num_train_cameras, num_test=a.num_test_cameras,
             seed=a.seed, resolution=a.resolution,
+            decode_mask=make_decode_mask(cfg, devices),
         )
-
-    devices = jax.devices()
-    if a.n_devices > 0:
-        devices = devices[: a.n_devices]
-    ws = len(devices)
+        stored = sum(c.gt_image_u8 is not None for c in scene.train_cameras)
+        if stored < len(scene.train_cameras):
+            print(f"[storage] host {jax.process_index()}: decoded "
+                  f"{stored}/{len(scene.train_cameras)} train GT images "
+                  f"(--distributed_dataset_storage; rest decode on demand)",
+                  flush=True)
     log_path = os.path.join(cfg.model.model_path,
                             f"python_ws={ws}_rk=0.log")
     with open(log_path, "a") as log_file:

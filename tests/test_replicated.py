@@ -105,3 +105,93 @@ def test_replicated_densify_stays_in_sync(mesh8):
     # all devices report the identical result (replicated => same work)
     assert (info == info[0]).all()
     assert int(info[0, 4]) == int(jnp.sum(state2.alive))
+
+
+def test_grad_normalization_by_visibility_semantics():
+    """normalize_grads_by_visibility applies the named per-Gaussian factor
+    along axis 0 of every param leaf (ref --grad_normalization_mode,
+    arguments/__init__.py:157)."""
+    from grendel_tpu.models.gaussian_model import GaussianParams
+    from grendel_tpu.parallel.sharded import normalize_grads_by_visibility
+
+    n = 4
+    grads = GaussianParams(
+        means3d=jnp.ones((n, 3)),
+        sh_dc=jnp.ones((n, 1, 3)),
+        sh_rest=jnp.ones((n, 3, 3)),
+        scales_raw=jnp.ones((n, 3)),
+        quats=jnp.ones((n, 4)),
+        opacities_raw=jnp.ones((n,)),
+    )
+    # visible in 2 / 1 / 0 / 2 of the two views
+    radii = jnp.array([[3, 1, 0, 5],
+                       [2, 0, 0, 4]], jnp.int32)
+    vis = np.array([2.0, 1.0, 0.0, 2.0])
+
+    same = normalize_grads_by_visibility(grads, radii, "none")
+    assert same is grads
+
+    div = normalize_grads_by_visibility(grads, radii, "divide_by_visible_count")
+    exp = 1.0 / np.maximum(vis, 1.0)
+    np.testing.assert_allclose(np.asarray(div.means3d), exp[:, None] *
+                               np.ones((n, 3)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(div.sh_rest)[:, 0, 0], exp)
+    np.testing.assert_allclose(np.asarray(div.opacities_raw), exp)
+
+    mul = normalize_grads_by_visibility(grads, radii,
+                                        "multiply_by_visible_count")
+    np.testing.assert_allclose(np.asarray(mul.opacities_raw), vis)
+    sq = normalize_grads_by_visibility(
+        grads, radii, "square_multiply_by_visible_count")
+    np.testing.assert_allclose(np.asarray(sq.opacities_raw), vis * vis)
+
+    with pytest.raises(ValueError):
+        normalize_grads_by_visibility(grads, radii, "bogus")
+
+
+def test_grad_normalization_wired_in_replicated_step(mesh8):
+    """The replicated step applies the normalization: loss is identical
+    (normalization is post-backward) but the updated params differ from
+    mode='none'."""
+    h, w, capacity, bsz = 64, 48, 256, 2
+    cams_host = [make_test_camera(w, h, angle=a) for a in (0.0, 0.9)]
+    params, alive = _make_params(jax.random.key(3), 200, capacity, 1)
+    rng = np.random.default_rng(0)
+    for c in cams_host:
+        c.gt_image_u8 = rng.integers(0, 255, (3, h, w), np.uint8)
+    cams = batch_camera_arrays(cams_host)
+    bg = jnp.zeros(3)
+
+    from grendel_tpu.engine.train import train_state_init
+
+    def run(mode):
+        cfg = ParallelConfig(
+            n_devices=8, bsz=bsz, img_h=h, img_w=w,
+            isect_capacity=4096, max_per_tile=256, chunk=32,
+            gaussians_distribution=False,
+        ).resolved(capacity // 8)
+        lrs, s = scaled_lrs(0.0025, 0.05, 0.005, 0.001, bsz=bsz)
+        sched = XyzLrSchedule(1.6e-3 * s, 1.6e-5 * s, 0.01, 1000)
+        tr = ShardedTrainer(mesh8, cfg, sh_degree=1, lambda_dssim=0.2,
+                            lrs=lrs, xyz_sched=sched,
+                            grad_normalization_mode=mode)
+        state = tr.shard_state(train_state_init(params, alive))
+        pos = np.asarray(divide_rows(
+            np.ones(cfg.total_rows), 8, cfg.n_row_slots))
+        gt_rows = pack_gt_rows(cams_host, pos, 8, cfg.n_row_slots, 16, h, w)
+        state, m = tr.step(state, cams, jnp.asarray(gt_rows), pos, bg)
+        return float(m["loss"]), np.asarray(state.adam.mu.means3d)
+
+    # NB: Adam's FIRST step is per-element scale-invariant (m_hat/sqrt(v_hat)
+    # = sign(g) up to eps), so the observable is the first moment, which
+    # scales linearly with the normalized gradient.
+    loss_none, mu_none = run("none")
+    loss_div, mu_div = run("divide_by_visible_count")
+    np.testing.assert_allclose(loss_none, loss_div, rtol=1e-6)
+    nz = np.abs(mu_none).sum(axis=1) > 1e-12
+    assert nz.sum() > 50
+    ratio = (np.abs(mu_div).sum(axis=1)[nz]
+             / np.abs(mu_none).sum(axis=1)[nz])
+    # every contributing Gaussian is visible in 1 or 2 of the two views
+    assert set(np.round(ratio, 4).tolist()) <= {0.5, 1.0}
+    assert (np.abs(ratio - 0.5) < 1e-4).any()   # some are seen by both
