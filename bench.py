@@ -79,7 +79,7 @@ def main():
     cams = batch_camera_arrays(cams_host)
 
     # steady-state entry-buffer capacity, sized exactly the way the
-    # trainer's telemetry auto-tuner converges: 1.3x headroom over the
+    # trainer's telemetry auto-tuner converges: 1.15x headroom over the
     # measured true intersection count, rounded up to a 1/8-pow2 mantissa
     # step (engine/trainer.py:_isect_cap_target) — every per-index hot-path
     # op scales with capacity, so benchmarking an oversized pow2 buffer
@@ -104,7 +104,7 @@ def main():
         16, 16, -(-w // 16), -(-h // 16), 1 << 22,
         opacities=jax.nn.sigmoid(p.opacities_raw)))
     n_isect = int(probe(params, alive, ca0).num_isects)
-    n = max(int(1.3 * n_isect), 1 << 14)
+    n = max(int(1.15 * n_isect), 1 << 14)
     k = max(int(np.floor(np.log2(n))) - 3, 7)
     isect_cap = -(-n // (1 << k)) << k
 
@@ -129,11 +129,24 @@ def main():
     state, m = one(state)
     jax.block_until_ready(m["loss"])
 
-    t0 = time.perf_counter()
-    for _ in range(steps_measured):
-        state, m = one(state)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+    # The transport's speculation layer has been observed (round 3) to
+    # serve fictional sub-ms "steps" even after the honest-mode readback
+    # flip above. A full step at this scale cannot beat ~5ms (the blend
+    # kernels alone are >25ms of VPU work), so anything faster is replay
+    # fiction — retry with fresh readbacks rather than report it.
+    for attempt in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps_measured):
+            state, m = one(state)
+        jax.block_until_ready(m["loss"])
+        dt = time.perf_counter() - t0
+        if dt / steps_measured > 5e-3:
+            break
+        print(f"# suspect replay fiction ({dt / steps_measured * 1e3:.2f} "
+              f"ms/step); re-flipping honest mode (attempt {attempt + 1})",
+              file=sys.stderr)
+        _ = float(jax.device_get(m["loss"]))   # force a fresh readback
+        time.sleep(5.0)
 
     # per-image throughput: one step consumes bsz images (the reference
     # counts bsz iterations per optimizer step in its bsz>1 configs)

@@ -93,6 +93,11 @@ class Trainer:
         # camera slots actually rendered by eval (observability: the exact-
         # count eval path must render len(cams), not a padded multiple)
         self.eval_render_count = 0
+        # (kind, iteration-agnostic detail) log of capacity retunes; the
+        # dynamics tests assert the opacity-reset shrink/regrow transient
+        # actually exercises these paths
+        self.capacity_events: list = []
+        self.opacity_reset_iters: list = []
         self._strategy_history = []
         self._epoch_losses = []
         self._last_epoch = 0
@@ -100,6 +105,9 @@ class Trainer:
         # measured to OOM a 16GB chip at bsz=4 (payload+grad+align buffers
         # plus the model), 2^22 runs
         self.isect_capacity_ceiling = 1 << 22
+        # never size the entry buffer below this (recompile hygiene at tiny
+        # scale; tests lower it to exercise the shrink/regrow transient)
+        self.isect_cap_floor = 1 << 14
         # decayed peak of observed true intersection counts: the capacity
         # picker sizes the entry buffer from THIS, not from a static
         # factor*N guess — every per-index op on the hot path (payload
@@ -179,6 +187,13 @@ class Trainer:
                 iteration=jnp.asarray(0, jnp.int32),
             )
         self.state = self._shard(self.state)
+        # per-shard alive estimate feeding the pre-densify capacity growth
+        # (init: contiguous shard split => ~n0/D per shard; replicated mode
+        # holds the full set on every device)
+        if cfg.dist.gaussians_distribution and self.n_devices > 1:
+            self._max_shard_alive = -(-n0 // self.n_devices)
+        else:
+            self._max_shard_alive = n0
         self._log(f"init: {n0} gaussians, capacity "
                   f"{self.n_local}x{self.n_devices}, image {w}x{h}, "
                   f"extent {self.spatial_lr_scale:.3f}")
@@ -241,7 +256,7 @@ class Trainer:
         return jax.tree.map(put, state, specs)
 
     def _isect_cap_target(self) -> int:
-        """Entry-buffer capacity target: 1.3x headroom over the decayed
+        """Entry-buffer capacity target: 1.15x headroom over the decayed
         observed peak intersection count, rounded up to a 1/8-power-of-two
         mantissa step (>= multiple of 128 for the Pallas CHUNK). Before any
         telemetry, fall back to isect_capacity_factor * n_local. Pow2
@@ -249,10 +264,14 @@ class Trainer:
         ops (gather/sort/segment-sum ~ 10-13ns per index on TPU)."""
         p = self.cfg.pipeline
         if self._isect_peak > 0:
-            target = 1.3 * self._isect_peak
+            # 1.15x headroom (was 1.3): gather/sort/segment-sum all scale
+            # with capacity (~40ms of cap-proportional work at garden
+            # scale), and the grow trigger at 0.92*cap still leaves a +6%
+            # num_isects margin over the decayed peak before a recompile
+            target = 1.15 * self._isect_peak
         else:
             target = p.isect_capacity_factor * self.n_local
-        n = max(int(target), 1 << 14)
+        n = max(int(target), self.isect_cap_floor)
         k = max(int(np.floor(np.log2(n))) - 3, 7)
         cap = -(-n // (1 << k)) << k
         # single-device blocked rasterization needs bsz*CHUNK divisibility
@@ -393,11 +412,20 @@ class Trainer:
                 nu=GaussianParams(*(pad(l) for l in state.adam.nu)),
                 count=state.adam.count,
             )
+            # stats are PADDED, not reset: growth can now happen right
+            # before a densification (pre-grow), and zeroing the
+            # accumulated screen-space gradients there would silently
+            # skip that round's clone/split
+            stats = state.stats.__class__(
+                grad_accum=pad(state.stats.grad_accum),
+                denom=pad(state.stats.denom),
+                max_radii=pad(state.stats.max_radii),
+            )
             return TrainState(
                 params=params,
                 alive=pad(state.alive, False),
                 adam=adam,
-                stats=densify_stats_init(2 * pad_n),
+                stats=stats,
                 iteration=state.iteration,
             )
 
@@ -410,6 +438,7 @@ class Trainer:
         self.state = grown
         self._retune_gen += 1      # capacity basis changed; lagged
         self._eval_trainer_cache.clear()   # telemetry must not act on it
+        self.capacity_events.append(("capacity_grow", new_local))
         self._log(f"capacity grown: {old_local} -> {new_local} per shard "
                   f"(device-side)")
 
@@ -600,7 +629,8 @@ class Trainer:
                 # compare the metrics against the capacity that PRODUCED
                 # them; the generation tag drops decisions that straddle a
                 # retune/growth (stale num_isects vs a new capacity)
-                self._check_capacity_telemetry(p_metrics, p_pcfg, p_gen)
+                self._check_capacity_telemetry(p_metrics, p_pcfg, p_gen,
+                                               it=it)
             if (not cfg.dist.no_heuristics_update
                     and not self._whole_image_division
                     and self.n_devices > 1 and it >= self.warmup_iters):
@@ -610,7 +640,7 @@ class Trainer:
                 self._pending_costs = None
                 if it % (cfg.log_interval) < bsz:
                     self._check_capacity_telemetry(
-                        metrics, pcfg, self._retune_gen)
+                        metrics, pcfg, self._retune_gen, it=it)
 
             # host-side iteration counter (a device_get here would force a
             # full sync every step and serialize dispatch). ``sched_it`` is
@@ -653,6 +683,22 @@ class Trainer:
                         sched_it, bsz, o.densification_interval, 0)):
                 use_size_prune = sched_it > o.opacity_reset_interval
                 self.timer.start("80 densify")
+                # PRE-grow: a clone+split round can up to ~3x a shard's
+                # alive count, and overflow beyond capacity silently DROPS
+                # the new Gaussians — the reference never drops (its
+                # tensors grow dynamically, gaussian_model.py:922-1003).
+                # Grow ahead using the measured growth ratio of the last
+                # round (decision is replicated-info-driven, so identical
+                # on every multi-host process). The post-densify dropped>0
+                # growth below stays as the fallback.
+                shard_cap_scale = (1 if trainer.cfg.gaussians_distribution
+                                   else self.n_devices)
+                ratio = getattr(self, "_densify_growth_ratio", 2.0)
+                while (ratio * self._max_shard_alive
+                       > 0.92 * self.n_local * shard_cap_scale):
+                    self._grow_capacity()
+                    trainer = self._trainer(sh_degree)
+                prev_max_alive = self._max_shard_alive
                 self.state, info = trainer.densify(
                     self.state, jax.random.key(cfg.seed * 1000003 + it),
                     o.densify_grad_threshold, o.min_opacity,
@@ -660,6 +706,11 @@ class Trainer:
                 self.densify_count += 1
                 dropped = int(info[:, 3].sum())
                 occ = info[:, 4].max() / self.n_local
+                # growth-ratio telemetry for the next pre-grow decision
+                new_max = int(info[:, 4].max())
+                self._densify_growth_ratio = float(np.clip(
+                    new_max / max(prev_max_alive, 1), 1.2, 3.2))
+                self._max_shard_alive = new_max
                 # n_3dgs trajectory (ref logs "Now num of 3dgs" per
                 # densification, general_utils.py:303-325) — the dynamics
                 # regression tests assert on this record
@@ -707,6 +758,7 @@ class Trainer:
                         sched_it, bsz, o.opacity_reset_interval, 0)
                     and sched_it + bsz <= o.opacity_reset_until_iter):
                 self.state = trainer.reset_opacity(self.state)
+                self.opacity_reset_iters.append(int(sched_it))
                 self._log(f"iter {it}: opacity reset")
 
             # ---- eval / save / checkpoint ----
@@ -744,7 +796,8 @@ class Trainer:
         self._retune_gen += 1
 
     def _check_capacity_telemetry(self, metrics, pcfg: ParallelConfig,
-                                  gen: Optional[int] = None):
+                                  gen: Optional[int] = None,
+                                  it: Optional[int] = None):
         """Auto-tune static capacities from overflow telemetry: the jitted
         step reports true intersection counts and a2a bucket overflow; when
         they approach/exceed the static budgets, raise the factors so the
@@ -759,8 +812,19 @@ class Trainer:
         # decayed peak: follows growth instantly (num_isects is the TRUE
         # count even when over capacity, so one recompile jumps straight to
         # the right size — no doubling ladder), releases the early-training
-        # giant-splat transient slowly enough to avoid recompile thrash
-        self._isect_peak = max(float(num_isects), self._isect_peak * 0.995)
+        # giant-splat transient slowly enough to avoid recompile thrash.
+        # The decay is per ITERATION, not per check (~2k-iteration
+        # half-life): multi-device folds telemetry every step, and a
+        # per-check 0.995 would halve the peak within one epoch's camera
+        # cycle — forgetting the heaviest camera between its visits and
+        # thrashing shrink/grow recompiles.
+        if it is not None:
+            span = max(it - getattr(self, "_telemetry_it", 0), 0)
+            self._telemetry_it = it
+        else:
+            span = self.cfg.dist.bsz
+        self._isect_peak = max(float(num_isects),
+                               self._isect_peak * 0.9996 ** span)
         if gen is not None and gen != self._retune_gen:
             return
         want = self._isect_cap_target()
@@ -769,6 +833,7 @@ class Trainer:
             self._isect_cap_current = want
             self._retune()
             self._isect_shrink_checks = 0
+            self.capacity_events.append(("isect_grow", want))
             self._log(
                 f"isect near capacity ({num_isects}/{pcfg.isect_capacity}):"
                 f" growing entry buffer -> {want} (recompile)")
@@ -787,6 +852,7 @@ class Trainer:
                 self._isect_cap_current = want
                 self._retune()
                 self._isect_shrink_checks = 0
+                self.capacity_events.append(("isect_shrink", want))
                 self._log(
                     f"isect capacity oversized "
                     f"({num_isects}/{pcfg.isect_capacity}): shrinking "
@@ -797,6 +863,7 @@ class Trainer:
         if overflow > 0:
             self._a2a_factor = getattr(self, "_a2a_factor", 1.0) * 1.5
             self._retune()
+            self.capacity_events.append(("a2a_grow", self._a2a_factor))
             self._log(
                 f"a2a bucket overflow ({overflow} entries): raising "
                 f"send_cap_factor -> {self._a2a_factor:.2f} (recompile)")
@@ -838,6 +905,14 @@ class Trainer:
             frac = stats["bytes_in_use"] / stats["bytes_limit"]
         elif getattr(self, "_hbm_usage_frac", None):
             frac = self._hbm_usage_frac
+        if frac is not None and jax.process_count() > 1:
+            # the guard gates a host-driven recompile path — all processes
+            # MUST take the same branch (ref allreduces its max reserved
+            # memory the same way, general_utils.py:327-345)
+            from jax.experimental import multihost_utils
+
+            frac = float(np.max(multihost_utils.process_allgather(
+                jnp.asarray(frac, jnp.float32))))
         if frac is not None and frac > self.cfg.opt.densify_memory_limit_percentage:
             self._log(f"densification stopped: HBM at {frac:.0%} "
                       f"(limit {self.cfg.opt.densify_memory_limit_percentage:.0%})")

@@ -229,8 +229,9 @@ def _fwd_kernel(
 def _bwd_kernel(
     tile_lo_ref, tile_hi_ref, px0_ref, py0_ref,   # scalar prefetch
     payload_hbm,                       # (cap/CHUNK, 16, CHUNK) ANY
-    aux_ref,                           # (1, P, 8) VMEM: [c_total(3), g(3),
-                                       #  T_fin*dT(1), pad(1)] per pixel
+    ct_ref,                            # (1, P, 4) VMEM: c_total (fwd colors4)
+    g_ref,                             # (1, P, 3) VMEM: d(colors) cotangent
+    gt_ref,                            # (1, 1, P) VMEM: T_fin * dT per pixel
     d_payload_hbm,                     # (cap/CHUNK, 16, CHUNK) ANY out
     chunk_vmem, dchunk_vmem, prev_vmem, sem, sem_out, sem_prev,
     *, tile_w: int, tile_h: int, max_per_tile: int,
@@ -251,14 +252,18 @@ def _bwd_kernel(
     # does chunk c0 carry a previous tile's entries? then accumulate into it
     shared_head = (lo % CHUNK) != 0
 
-    aux = aux_ref[0]                   # (P, 8)
-    ct_r = aux[:, 0:1]
-    ct_g = aux[:, 1:2]
-    ct_b = aux[:, 2:3]
-    g_r = aux[:, 3:4]
-    g_g = aux[:, 4:5]
-    g_b = aux[:, 5:6]
-    gt = aux[:, 6:7]                   # (P, 1) — already * T_fin
+    # separate refs instead of one packed (1,P,8) aux: the host-side pack
+    # cost a concat + a minor-dim-1 (T,P,1) multiply at 1/128 lane
+    # utilization (~6.6ms at garden scale, traced round 3)
+    ct = ct_ref[0]                     # (P, 4)
+    g = g_ref[0]                       # (P, 3)
+    ct_r = ct[:, 0:1]
+    ct_g = ct[:, 1:2]
+    ct_b = ct[:, 2:3]
+    g_r = g[:, 0:1]
+    g_g = g[:, 1:2]
+    g_b = g[:, 2:3]
+    gt = gt_ref[0].reshape(p, 1)       # (1,P) -> (P, 1) — already * T_fin
     # g . c_total, loop-invariant per pixel
     ctg = ct_r * g_r + ct_g * g_g + ct_b * g_b
 
@@ -299,10 +304,25 @@ def _bwd_kernel(
         # prefix scan of w * (g . c) suffices (instead of one per channel).
         c_dot_g = rgb[0:1, :] * g_r + rgb[1:2, :] * g_g + rgb[2:3, :] * g_b
         wc = w * c_dot_g
-        # NB: this prefix sum must stay exact f32 — it feeds the
-        # cancellation ctg - s_incl, where bf16 MXU rounding measurably
-        # corrupts d_alpha (median m2d grad error >1e-4 on hardware)
-        s_incl = s_pref + _cumsum_lanes(wc)                 # (P, K)
+        if _MXU_BWD_REDUCE:
+            # prefix sum along lanes as ONE (P,K)x(K,K) upper-triangular
+            # matmul on the MXU instead of a 7-step roll scan (~20% of the
+            # kernel's vector issues). Rounds through bf16 like the other
+            # MXU reductions in this mode — same tolerance band; the exact
+            # mode below keeps the f32 scan (the cancellation ctg - s_incl
+            # is where rounding shows up first).
+            k = wc.shape[-1]
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+            cols_j = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+            upper = (rows_i <= cols_j).astype(jnp.float32)
+            s_incl = s_pref + jax.lax.dot_general(
+                wc, upper, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (P, K)
+        else:
+            # exact f32 — it feeds the cancellation ctg - s_incl, where
+            # bf16 MXU rounding measurably corrupts d_alpha (median m2d
+            # grad error >1e-4 on hardware)
+            s_incl = s_pref + _cumsum_lanes(wc)             # (P, K)
         b_dot_g = ctg - s_incl
         inv_om = _precise_recip(one_minus)
         d_alpha = jnp.where(
@@ -348,7 +368,10 @@ def _bwd_kernel(
                 axis=0)
         t_in = jnp.min(jnp.where(include, t_after, t_in), axis=1,
                        keepdims=True)
-        s_pref = s_pref + jnp.sum(wc, axis=1, keepdims=True)
+        if _MXU_BWD_REDUCE:
+            s_pref = s_incl[:, -1:]     # inclusive prefix's last lane
+        else:
+            s_pref = s_pref + jnp.sum(wc, axis=1, keepdims=True)
         return d_chunk, t_in, s_pref
 
     def emit(c, d_chunk):
@@ -445,7 +468,13 @@ def _build_payload(means2d, conics, colors, opacities, gauss_ids):
     )                                                     # (N, 16)
     table = jnp.concatenate(
         [table, jnp.zeros((1, PAYLOAD_W), jnp.float32)], axis=0)
-    rows = table[jnp.minimum(gauss_ids, n)]               # (cap, 16)
+    # barriers pin the gather's operand/result to their canonical layouts:
+    # inside the full train step XLA otherwise fuses upstream transposes
+    # into the gather, turning it strided (measured 10.8ms vs 3.9ms for the
+    # same indices at garden scale)
+    table, ids = jax.lax.optimization_barrier(
+        (table, jnp.minimum(gauss_ids, n)))
+    rows = jax.lax.optimization_barrier(table[ids])       # (cap, 16)
     return rows.reshape(cap // CHUNK, CHUNK, PAYLOAD_W).transpose(0, 2, 1)
 
 
@@ -486,7 +515,9 @@ def _fwd_impl(gathered, gauss_ids, tile_lo, tile_hi, slot_px0, slot_py0,
     t_fin = t_fin[:, :, 0]
     colors_pix = colors4[:, :, :3]               # (T, P, 3)
     out = (colors_pix, t_fin)
-    return out, (payload, colors_pix, t_fin)
+    # residual keeps colors4 (the raw kernel output): the bwd kernel reads
+    # c_total from it directly, so no (T,P,3) slice copy is materialized
+    return out, (payload, colors4, t_fin)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
@@ -502,40 +533,35 @@ def _rasterize_core(
 def _core_fwd(gathered, gauss_ids, tile_lo, tile_hi, slot_px0, slot_py0,
               tile_w, tile_h, max_per_tile, interpret, num_gaussians,
               seg_blocks):
-    out, (payload, colors_pix, t_fin) = _fwd_impl(
+    out, (payload, colors4, t_fin) = _fwd_impl(
         gathered, gauss_ids, tile_lo, tile_hi, slot_px0, slot_py0,
         tile_w, tile_h, max_per_tile, interpret)
     # store the payload itself: rebuilding it in the backward re-runs the
     # capacity-sized gather, and gathers in a VJP/transpose context get
     # scalarized by XLA (~140ms/step measured); residual memory is the
     # cheaper trade
-    return out, (payload, colors_pix, t_fin, gauss_ids, tile_lo, tile_hi,
+    return out, (payload, colors4, t_fin, gauss_ids, tile_lo, tile_hi,
                  slot_px0, slot_py0)
 
 
 def _core_bwd(tile_w, tile_h, max_per_tile, interpret, num_gaussians,
               seg_blocks, res, cotangents):
-    payload, colors_pix, t_fin, gauss_ids, tile_lo, tile_hi, px0, py0 = res
+    payload, colors4, t_fin, gauss_ids, tile_lo, tile_hi, px0, py0 = res
     g_colors, g_t = cotangents              # (T, P, 3), (T, P)
     t_slots = px0.shape[0]
     p = tile_w * tile_h
-    # per-pixel aux pack: [c_total(3) | g(3) | T_fin * dT(1) | pad]
-    aux = jnp.concatenate(
-        [
-            colors_pix,                                 # (T, P, 3)
-            g_colors,                                   # (T, P, 3)
-            (g_t * t_fin)[:, :, None],                  # (T, P, 1)
-            jnp.zeros((t_slots, p, 1), jnp.float32),
-        ],
-        axis=-1,
-    )
+    gt_tp = (g_t * t_fin)[:, None, :]       # (T, 1, P): minor dim stays P
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(t_slots,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, p, 8), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, p, 4), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 3), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
@@ -555,7 +581,7 @@ def _core_bwd(tile_w, tile_h, max_per_tile, interpret, num_gaussians,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(payload.shape, jnp.float32)],
         interpret=interpret,
-    )(tile_lo, tile_hi, px0, py0, payload, aux)[0]
+    )(tile_lo, tile_hi, px0, py0, payload, colors4, g_colors, gt_tp)[0]
 
     # Every chunk inside some tile's span was written by the kernel. Rows
     # with undefined values are entry positions outside every span: past

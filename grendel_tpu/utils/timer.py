@@ -98,12 +98,17 @@ def stop_trace() -> None:
 
 
 def device_memory_stats() -> dict:
-    """Live/peak HBM bytes of device 0 (ref memory monitors:
-    utils/general_utils.py:283-345). Empty dict if unsupported."""
+    """Live/peak HBM bytes of this process's first device (ref memory
+    monitors: utils/general_utils.py:283-345). Empty dict if unsupported.
+    Must use a LOCAL device: under multi-host, jax.devices()[0] can be a
+    non-addressable peer and MemoryStats raises on those."""
     import jax
 
-    dev = jax.devices()[0]
-    stats = getattr(dev, "memory_stats", lambda: None)()
+    dev = jax.local_devices()[0]
+    try:
+        stats = getattr(dev, "memory_stats", lambda: None)()
+    except Exception:
+        return {}
     if not stats:
         return {}
     return {

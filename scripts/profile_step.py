@@ -105,7 +105,7 @@ def main():
     cams = batch_camera_arrays(cams_host)
 
     # tight per-camera entry capacity, matching the trainer auto-tuner's
-    # steady state (1.3x headroom, 1/8-pow2 mantissa rounding) — see
+    # steady state (1.15x headroom, 1/8-pow2 mantissa rounding) — see
     # bench.py; profiling an oversized pow2 buffer misstates every
     # capacity-proportional stage
     # The axon TPU transport speculates results (cassette/replay layer):
@@ -125,7 +125,7 @@ def main():
     n_isect = int(jax.jit(lambda s: isect_tiles(
         s.means2d, s.radii, s.depths, 16, 16, -(-w // 16), -(-h // 16),
         1 << 22, opacities=s.opacities).num_isects)(sp0))
-    nt = max(int(1.3 * n_isect), 1 << 14)
+    nt = max(int(1.15 * n_isect), 1 << 14)
     k = max(int(np.floor(np.log2(nt))) - 3, 7)
     isect_cap = -(-nt // (1 << k)) << k
     cfg = RenderConfig(img_h=h, img_w=w, isect_capacity=isect_cap,

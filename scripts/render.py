@@ -132,9 +132,9 @@ def main():
                 arr = (imgs[b].transpose(1, 2, 0) * 255 + 0.5).astype(np.uint8)
                 Image.fromarray(arr).save(
                     os.path.join(rdir, f"{i + b:05d}.png"))
-                if cam.gt_image_u8 is not None:
-                    Image.fromarray(
-                        cam.gt_image_u8.transpose(1, 2, 0)).save(
+                gt = cam.gt()   # decodes on demand under lazy storage
+                if gt is not None:
+                    Image.fromarray(gt.transpose(1, 2, 0)).save(
                         os.path.join(gdir, f"{i + b:05d}.png"))
         print(f"rendered {len(cams)} {name} views -> {rdir}")
 

@@ -20,8 +20,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if not os.environ.get("GRENDEL_TPU_TESTS"):
+    # default: 8-device CPU mesh. GRENDEL_TPU_TESTS=1 keeps the real TPU
+    # plugin so tests/test_tpu_hw.py can run on hardware:
+    #   GRENDEL_TPU_TESTS=1 python -m pytest tests/test_tpu_hw.py -q
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 
 import pytest  # noqa: E402

@@ -82,7 +82,7 @@ def test_two_process_full_schedule_matches_single_process(tmp_path):
     (parallel/sharded.py compiled-bytes note; ref densification.py:46-60 +
     train_internal.py:287-313)."""
     tmp = str(tmp_path)
-    iters = 40
+    iters = 48       # densify #6 overflows the 256/shard capacity -> growth
     (single,) = _run(1, tmp, "fs_single", n_local_devices=8,
                      extra=["--full_schedule"], iters=iters)
     duo = _run(2, tmp, "fs_duo", n_local_devices=4,

@@ -80,6 +80,36 @@ def test_pallas_matches_jax_on_hardware():
         assert d.max() < 1e-1, name
 
 
+def test_mxu_bwd_reduce_gradient_error_band():
+    """Regression guard for the MXU backward-reduction rounding (bf16
+    pixel reductions + triangular-matmul prefix): gradients vs the exact
+    VPU mode must stay inside the band the round-3 training-quality A/B
+    validated (ROUND3_NOTES.md: identical 2.5k-iter convergence and final
+    PSNR within 0.1 dB between modes)."""
+    import grendel_tpu.ops.rasterize_pallas as rp
+
+    f_mxu, _, args = _scene_and_fns()
+    assert rp._MXU_BWD_REDUCE, "run without GRENDEL_EXACT_BWD_REDUCE=1"
+    (v_m, _), g_m = f_mxu(*args)
+    old = rp._MXU_BWD_REDUCE
+    try:
+        rp._MXU_BWD_REDUCE = False
+        f_exact, _, _ = _scene_and_fns()
+        (v_e, _), g_e = f_exact(*args)
+    finally:
+        rp._MXU_BWD_REDUCE = old
+    np.testing.assert_allclose(float(v_m), float(v_e), rtol=1e-5)
+    for name, a, b in zip(("m2d", "con", "col", "op"), g_m, g_e):
+        a, b = np.asarray(a), np.asarray(b)
+        s = np.abs(b).max() + 1e-8
+        d = np.abs(a - b) / s
+        print(f"mxu-vs-exact {name}: med={np.median(d):.2e} "
+              f"q999={np.quantile(d, 0.999):.2e} max={d.max():.2e}")
+        assert np.median(d) < 5e-5, name
+        assert np.quantile(d, 0.999) < 5e-3, name
+        assert d.max() < 3e-2, name
+
+
 if __name__ == "__main__":
     # allow `python tests/test_tpu_hw.py` on a chip without pytest config
     import sys
@@ -90,3 +120,5 @@ if __name__ == "__main__":
     else:
         test_pallas_matches_jax_on_hardware()
         print("PASS: pallas matches jax on hardware")
+        test_mxu_bwd_reduce_gradient_error_band()
+        print("PASS: MXU bwd-reduce gradient error inside band")
