@@ -67,6 +67,17 @@ CHUNK = 128
 # tolerates. Set GRENDEL_EXACT_BWD_REDUCE=1 to force exact VPU sums.
 import os as _os
 _MXU_BWD_REDUCE = _os.environ.get("GRENDEL_EXACT_BWD_REDUCE", "0") != "1"
+# MXU dot precision for the backward reductions/prefix. A round-3 training
+# A/B measured plain bf16 rounding costing ~0.5-0.7 dB final PSNR (two
+# seeds, 2.5k-iter synthetic convergence to ~27.5 dB), so the default is
+# HIGHEST: XLA's multi-pass bf16 emulation of an f32 matmul (hardware-
+# measured max gradient error vs the exact VPU scans: 1.8e-7 relative —
+# f32-identical for training purposes). GRENDEL_FAST_BWD_REDUCE=1 opts
+# back into single-pass bf16 (~2ms faster per garden-scale step).
+_MXU_PRECISION = (
+    jax.lax.Precision.DEFAULT
+    if _os.environ.get("GRENDEL_FAST_BWD_REDUCE", "0") == "1"
+    else jax.lax.Precision.HIGHEST)
 
 
 def _cumsum_lanes(x):
@@ -194,7 +205,8 @@ def _fwd_kernel(
         t_before = t_in * _excl_from_incl(cump, 1.0)
         w = jnp.where(include, alpha * t_before, 0.0)      # (P, K)
         rgb = chunk[5:8, :]                                # (3, K)
-        # exact f32 VPU accumulation (the MXU would round through bf16)
+        # exact f32 VPU accumulation (a HIGHEST-precision MXU dot was
+        # measured neutral here — keep the bit-exact f32 forward)
         acc = acc + jnp.concatenate(
             [jnp.sum(w * rgb[0:1, :], axis=1, keepdims=True),
              jnp.sum(w * rgb[1:2, :], axis=1, keepdims=True),
@@ -317,6 +329,7 @@ def _bwd_kernel(
             upper = (rows_i <= cols_j).astype(jnp.float32)
             s_incl = s_pref + jax.lax.dot_general(
                 wc, upper, (((1,), (0,)), ((), ())),
+                precision=_MXU_PRECISION,
                 preferred_element_type=jnp.float32)         # (P, K)
         else:
             # exact f32 — it feeds the cancellation ctg - s_incl, where
@@ -356,6 +369,7 @@ def _bwd_kernel(
             ones_row = jnp.ones((1, p), jnp.float32)
             summed = jax.lax.dot_general(
                 ones_row, stacked, (((1,), (0,)), ((), ())),
+                precision=_MXU_PRECISION,
                 preferred_element_type=jnp.float32)            # (1, 9K)
             rows = summed.reshape(9, CHUNK)
             d_chunk = jnp.concatenate(
