@@ -92,9 +92,16 @@ class DistributionConfig:
     """Parallelism axes (ref: DistributionParams, arguments/__init__.py:136-174)."""
 
     image_distribution: bool = True
+    # legacy mode selector (ref arguments/__init__.py:140; modes "0"-"4"
+    # are dead code in the reference — only the live "final" system
+    # exists here). Parsed for command-line compatibility.
+    image_distribution_mode: str = "final"
     heuristic_decay: float = 0.0
     no_heuristics_update: bool = False
     adjust_strategy_warmp_iterations: int = -1   # -1 -> one epoch (train fixup)
+    # snap division points within this many tile rows of an image boundary
+    # to the boundary (ref workload_division.py:889-906)
+    border_divpos_coeff: float = 1.0
     save_strategy_history: bool = False
 
     gaussians_distribution: bool = True
@@ -145,9 +152,25 @@ class TrainConfig:
     seed: int = 0
     log_interval: int = 250
     enable_timer: bool = False
+    quiet: bool = False                  # suppress stdout (log file still written)
+    log_folder: str = ""                 # "" -> model_path (ref --log_folder)
+    # end-to-end wall time EXCLUDING eval/save (ref End2endTimer,
+    # utils/timer.py:92-116); logged at training end when True
+    end2end_time: bool = True
+    # memory monitors (ref --check_gpu_memory/--check_cpu_memory/
+    # --log_memory_summary, general_utils.py:283-345, 501-513)
+    check_gpu_memory: bool = False
+    check_cpu_memory: bool = False
+    log_memory_summary: bool = False
+    # capture a jax.profiler trace of ~10 steady-state steps into
+    # <model_path>/trace (the TPU analogue of ref --nsys_profile NVTX)
+    nsys_profile: bool = False
     # debug / fault-injection (ref: DebugParams, arguments/__init__.py:189-201)
     stop_update_param: bool = False      # freeze params (render-determinism aid)
     drop_initial_3dgs_p: float = 0.0     # random init-point drop (scaling exps)
+    # replicate checkpointed Gaussians on load for scaling experiments
+    # (ref --drop_duplicate_gaussians_coeff, general_utils.py:609-644)
+    drop_duplicate_gaussians_coeff: float = 1.0
 
     def finalize(self) -> "TrainConfig":
         """Post-parse constraint propagation (ref: init_args,
@@ -172,6 +195,11 @@ class TrainConfig:
         if not self.dist.gaussians_distribution:
             # ref init_args: replicated Gaussians => single-file saves
             self.dist.distributed_save = False
+        assert self.dist.image_distribution_mode in ("", "final"), (
+            "only the reference's live 'final' distribution system exists "
+            "(modes 0-4 are dead code there; SURVEY.md §0)")
+        if not self.log_folder:
+            self.log_folder = self.model.model_path
         return self
 
 

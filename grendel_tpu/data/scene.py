@@ -111,6 +111,7 @@ class Scene:
         seed: int = 0,
         decode_mask: Optional[Callable[[int, CameraInfo], bool]] = None,
         resolution: float = -1.0,
+        decode_workers: int = 8,
     ):
         if os.path.exists(os.path.join(source_path, "sparse")):
             info = read_colmap_scene(
@@ -150,14 +151,16 @@ class Scene:
 
         def build(infos: Sequence[CameraInfo]) -> List[Camera]:
             # parallel image decode (ref: the multiprocess decoding pool,
-            # utils/camera_utils.py:92-115; PIL releases the GIL during
-            # JPEG/PNG decompression so threads suffice here)
+            # utils/camera_utils.py:92-115 / --multiprocesses_image_loading;
+            # PIL releases the GIL during JPEG/PNG decompression so threads
+            # suffice here)
             from concurrent.futures import ThreadPoolExecutor
 
             decs = [decode_mask(i, ci) if decode_mask is not None else True
                     for i, ci in enumerate(infos)]
             size = self.resolution_wh
-            with ThreadPoolExecutor(max_workers=8) as pool:
+            workers = max(1, decode_workers)
+            with ThreadPoolExecutor(max_workers=workers) as pool:
                 return list(pool.map(
                     lambda t: camera_from_info(t[0], t[1], decode=t[2],
                                                size=size),

@@ -151,7 +151,8 @@ def load_checkpoint(
 
 
 def load_checkpoint_sharded(directory: str, world_size: int,
-                            capacity: Optional[int] = None) -> TrainState:
+                            capacity: Optional[int] = None,
+                            duplicate_coeff: float = 1.0) -> TrainState:
     """Load a checkpoint for a ``world_size``-device mesh as ONE host
     TrainState whose capacity axis is block-partitioned per shard
     (shard d occupies rows [d*cap, (d+1)*cap)).
@@ -165,16 +166,18 @@ def load_checkpoint_sharded(directory: str, world_size: int,
     import jax.numpy as jnp
 
     saved_ws, paths = _find_shards(directory)
-    if saved_ws != world_size:
+    if saved_ws != world_size or duplicate_coeff != 1.0:
         # elastic path: the contiguous-chunk per-rank loader already
-        # implements merge (fewer ranks) / split (more ranks); run it once
-        # per target shard with a common capacity and block-concat.
+        # implements merge (fewer ranks) / split (more ranks) and
+        # duplication for scaling experiments; run it once per target
+        # shard with a common capacity and block-concat.
         total = sum(int(np.load(p)["param_means3d"].shape[0]) for p in paths)
+        total = int(total * max(duplicate_coeff, 1.0))
         cap = (capacity if capacity is not None
                else round_capacity(max(-(-total // world_size), 1)))
         shards = [
             load_checkpoint(directory, rank=d, world_size=world_size,
-                            capacity=cap)
+                            capacity=cap, duplicate_coeff=duplicate_coeff)
             for d in range(world_size)
         ]
         return jax.tree_util.tree_map(

@@ -161,7 +161,8 @@ class Trainer:
             from .checkpoint import load_checkpoint_sharded
 
             self.state = load_checkpoint_sharded(
-                cfg.start_checkpoint, self.n_devices)
+                cfg.start_checkpoint, self.n_devices,
+                duplicate_coeff=cfg.drop_duplicate_gaussians_coeff)
             n0 = int(jnp.sum(self.state.alive))
             self.n_local = self.state.alive.shape[0] // self.n_devices
         else:
@@ -234,7 +235,8 @@ class Trainer:
 
     def _log(self, msg: str):
         line = f"[{time.strftime('%H:%M:%S')}] {msg}"
-        print(line, flush=True)
+        if not self.cfg.quiet:    # ref --quiet: file log still written
+            print(line, flush=True)
         if self.log is not None:
             self.log.write(line + "\n")
             self.log.flush()
@@ -568,7 +570,20 @@ class Trainer:
         t_start = time.time()
 
         it = int(jax.device_get(self.state.iteration))
+        self._aux_secs = 0.0
+        # ~10 steady-state steps traced into <model_path>/trace (the TPU
+        # analogue of ref --nsys_profile NVTX ranges)
+        trace_at = it + max(2 * bsz, 4) if cfg.nsys_profile else None
+        trace_stop = None
+        trace_dir = os.path.join(cfg.model.model_path, "trace")
         while it < end:
+            if trace_at is not None and it >= trace_at:
+                jax.profiler.start_trace(trace_dir)
+                trace_at, trace_stop = None, it + 10 * bsz
+            elif trace_stop is not None and it >= trace_stop:
+                jax.profiler.stop_trace()
+                self._log(f"profiler trace written to {trace_dir}")
+                trace_stop = None
             sh_degree = min(it // 1000, cfg.model.sh_degree)
             trainer = self._trainer(sh_degree)
             pcfg = trainer.cfg
@@ -586,7 +601,10 @@ class Trainer:
                     bsz, self._tiles_y(), self.n_devices)
             else:
                 heur = self.history.heuristic_for(batch)
-                pos_np = divide_rows(heur, self.n_devices, pcfg.n_row_slots)
+                pos_np = divide_rows(
+                    heur, self.n_devices, pcfg.n_row_slots,
+                    rows_per_image=self._tiles_y(),
+                    border_coeff=cfg.dist.border_divpos_coeff)
             if self._gt_device is not None:
                 cam_ids = np.asarray(
                     [self._gt_index[c.uid] for c in batch], np.int32)
@@ -618,29 +636,32 @@ class Trainer:
                     "division_pos": pos_np.tolist(),
                 })
 
-            # fold the PREVIOUS step's measured per-row costs into the
-            # balancer: one step of lag means device_get never stalls the
-            # dispatch pipeline (the values are already on host-reachable
-            # memory by the time the next step is enqueued)
+            # fold the PREVIOUS step's measured costs into the balancer and
+            # the capacity tuner: one step of lag means device_get never
+            # stalls the dispatch pipeline (the values are already on
+            # host-reachable memory by the time the next step is enqueued).
+            # Telemetry folds EVERY step on any topology — a log-interval
+            # cadence left a single device sitting on the early-training
+            # transient's oversized entry buffer for 20*log_interval
+            # iterations before the shrink could fire (observed: 4.2M-entry
+            # buffer vs <1M real demand, ~90ms/step of dead per-index work).
             if self._pending_costs is not None:
                 p_batch, p_pos, p_metrics, p_pcfg, p_gen = self._pending_costs
-                self.history.update(
-                    p_batch, p_pos, np.asarray(p_metrics["per_row_entries"]))
+                if p_batch is not None:
+                    self.history.update(
+                        p_batch, p_pos,
+                        np.asarray(p_metrics["per_row_entries"]))
                 # compare the metrics against the capacity that PRODUCED
                 # them; the generation tag drops decisions that straddle a
                 # retune/growth (stale num_isects vs a new capacity)
                 self._check_capacity_telemetry(p_metrics, p_pcfg, p_gen,
                                                it=it)
-            if (not cfg.dist.no_heuristics_update
-                    and not self._whole_image_division
-                    and self.n_devices > 1 and it >= self.warmup_iters):
-                self._pending_costs = (batch, pos_np, metrics, pcfg,
-                                       self._retune_gen)
-            else:
-                self._pending_costs = None
-                if it % (cfg.log_interval) < bsz:
-                    self._check_capacity_telemetry(
-                        metrics, pcfg, self._retune_gen, it=it)
+            want_history = (not cfg.dist.no_heuristics_update
+                            and not self._whole_image_division
+                            and self.n_devices > 1
+                            and it >= self.warmup_iters)
+            self._pending_costs = (batch if want_history else None,
+                                   pos_np, metrics, pcfg, self._retune_gen)
 
             # host-side iteration counter (a device_get here would force a
             # full sync every step and serialize dispatch). ``sched_it`` is
@@ -762,6 +783,9 @@ class Trainer:
                 self._log(f"iter {it}: opacity reset")
 
             # ---- eval / save / checkpoint ----
+            # (timed separately: the end2end metric excludes them, ref
+            # End2endTimer, utils/timer.py:92-116)
+            t_aux = time.time()
             if any(it - bsz < t <= it for t in cfg.test_iterations):
                 self.timer.start("90 eval")
                 self._run_eval(it, sh_degree)
@@ -774,10 +798,24 @@ class Trainer:
                 self.timer.start("95 save")
                 self.save_checkpoint(it)
                 self.timer.stop("95 save")
+            self._aux_secs += time.time() - t_aux
 
+            if (cfg.check_gpu_memory or cfg.check_cpu_memory
+                    or cfg.log_memory_summary) \
+                    and it % cfg.log_interval < bsz:
+                self._log_memory(it)
+
+        if trace_stop is not None:
+            jax.profiler.stop_trace()
+            self._log(f"profiler trace written to {trace_dir}")
         secs = time.time() - t_start
         self._log(f"training done: {it} iters in {secs / 60:.2f} min "
                   f"({it / max(secs, 1e-9):.2f} it/s)")
+        if cfg.end2end_time:
+            train_secs = secs - self._aux_secs
+            self._log(
+                f"end2end (excl. eval/save): {train_secs / 60:.2f} min "
+                f"({it / max(train_secs, 1e-9):.2f} it/s)")
         if cfg.dist.save_strategy_history and self._strategy_history:
             path = os.path.join(
                 cfg.model.model_path,
@@ -890,6 +928,34 @@ class Trainer:
             f"compiled step reserves {st.mem_bytes / 2**30:.2f}GB of "
             f"{limit / 2**30:.0f}GB HBM; isect entry ceiling -> "
             f"{self.isect_capacity_ceiling}")
+
+    def _log_memory(self, it: int):
+        """Periodic memory lines (ref --check_gpu_memory/--check_cpu_memory
+        monitors, general_utils.py:283-345; the log-line format is the
+        observability API the analyzers mine)."""
+        parts = []
+        if self.cfg.check_gpu_memory:
+            from ..utils.timer import device_memory_stats
+
+            stats = device_memory_stats()
+            if stats and stats.get("bytes_in_use") is not None:
+                parts.append(
+                    f"hbm_in_use={stats['bytes_in_use'] / 2**30:.2f}GB"
+                    f" peak={stats.get('peak_bytes_in_use', 0) / 2**30:.2f}GB")
+            elif getattr(self, "_hbm_usage_frac", None):
+                parts.append(f"hbm_reserved_frac={self._hbm_usage_frac:.2f}")
+        if self.cfg.check_cpu_memory:
+            import resource
+
+            rss_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+            parts.append(f"cpu_maxrss={rss_kb / 2**20:.2f}GB")
+        if self.cfg.log_memory_summary:
+            mb = [t.mem_bytes for t in self._trainer_cache.values()
+                  if t.mem_bytes]
+            if mb:
+                parts.append(f"compiled_reserved={max(mb) / 2**30:.2f}GB")
+        if parts:
+            self._log(f"iter {it}: memory " + " ".join(parts))
 
     def _memory_guard_tripped(self) -> bool:
         """Stop densification when device HBM is nearly full (ref:

@@ -33,11 +33,19 @@ def divide_rows(
     heuristic: np.ndarray,   # (total_rows,) positive per-row cost
     n_devices: int,
     max_rows_per_device: int,
+    rows_per_image: int = 0,
+    border_coeff: float = 0.0,
 ) -> np.ndarray:
     """Split rows into D contiguous chunks of ~equal mass.
 
     Returns division_pos (D+1,) int32 with pos[0]=0, pos[D]=total_rows,
     each span <= max_rows_per_device (capacity of the static row buffer).
+
+    With ``rows_per_image`` and ``border_coeff`` > 0, interior division
+    points within ``border_coeff`` rows of an image boundary snap TO the
+    boundary (ref --border_divpos_coeff, workload_division.py:889-906:
+    a sliver of an image on a device costs a whole extra kernel launch /
+    GT slice for negligible balancing gain).
     """
     total = heuristic.shape[0]
     assert n_devices * max_rows_per_device >= total, (
@@ -49,6 +57,13 @@ def divide_rows(
     # smallest p such that the first p rows carry >= target mass
     pos = np.searchsorted(cum, targets, side="left").astype(np.int64) + 1
     pos = np.concatenate([[0], np.minimum(pos, total), [total]])
+    if rows_per_image > 0 and border_coeff > 0:
+        for i in range(1, n_devices):
+            r = pos[i] % rows_per_image
+            if r != 0 and r + border_coeff >= rows_per_image:
+                pos[i] = min(pos[i] - r + rows_per_image, total)
+            elif r != 0 and r - border_coeff <= 0:
+                pos[i] = pos[i] - r
     # enforce monotonicity and the per-device row cap
     for i in range(1, n_devices + 1):
         pos[i] = max(pos[i], pos[i - 1])

@@ -13,6 +13,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -84,9 +85,53 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_train_cameras", type=int, default=-1)
     p.add_argument("--num_test_cameras", type=int, default=-1)
     p.add_argument("--save_strategy_history", action="store_true")
+    p.add_argument("--image_distribution_mode", type=str, default="final",
+                   help="parsed for reference compatibility; only the live "
+                        "'final' system exists (ref modes 0-4 are dead code)")
+    p.add_argument("--border_divpos_coeff", type=float, default=1.0,
+                   help="snap division points within this many tile rows "
+                        "of an image boundary to the boundary")
+    # PipelineParams
+    p.add_argument("--backend", type=str, default="auto",
+                   choices=["auto", "pallas", "jax", "default", "gsplat"],
+                   help="rasterizer backend: pallas (TPU kernels) | jax "
+                        "(pure-XLA). 'default'/'gsplat' are accepted as the "
+                        "reference's names and map to auto/jax")
+    # OptimizationParams (cont.)
+    p.add_argument("--densify_memory_limit_percentage", type=float,
+                   default=0.9)
+    p.add_argument("--lr_scale_pos_and_scale", type=float, default=1.0)
+    # BenchmarkParams
+    p.add_argument("--end2end_time", type=int, default=1,
+                   help="log train-only wall time excluding eval/save")
+    p.add_argument("--check_gpu_memory", action="store_true")
+    p.add_argument("--check_cpu_memory", action="store_true")
+    p.add_argument("--log_memory_summary", action="store_true")
+    p.add_argument("--nsys_profile", action="store_true",
+                   help="capture a jax.profiler trace of ~10 steady-state "
+                        "steps into <model_path>/trace")
+    p.add_argument("--zhx_time", action="store_true",
+                   help="reference alias for --enable_timer")
+    p.add_argument("--zhx_debug", action="store_true",
+                   help="reference alias for --debug")
     # DebugParams
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--detect_anomaly", action="store_true",
+                   help="jax_debug_nans: fail fast on NaN/Inf (the JAX "
+                        "analogue of torch.autograd.set_detect_anomaly)")
     p.add_argument("--stop_update_param", action="store_true")
     p.add_argument("--drop_initial_3dgs_p", type=float, default=0.0)
+    p.add_argument("--drop_duplicate_gaussians_coeff", type=float,
+                   default=1.0,
+                   help="replicate checkpointed Gaussians on load "
+                        "(scaling experiments)")
+    # misc reference-parity
+    p.add_argument("--quiet", "-q", action="store_true")
+    p.add_argument("--log_folder", type=str, default="",
+                   help="log file directory (default: model_path)")
+    p.add_argument("--multiprocesses_image_loading", type=int, default=1,
+                   help="0 = single-threaded GT decode")
+    p.add_argument("--time_image_loading", action="store_true")
     # schedule / misc
     p.add_argument("--test_iterations", nargs="+", type=int,
                    default=[7_000, 30_000])
@@ -138,10 +183,24 @@ def args_to_config(a):
               "densify_from_iter", "densify_until_iter",
               "densify_grad_threshold", "disable_auto_densification",
               "min_opacity", "lr_scale_mode", "lr_scale_loss",
-              "random_background"):
+              "random_background", "densify_memory_limit_percentage",
+              "lr_scale_pos_and_scale"):
         setattr(o, f, getattr(a, f))
     cfg.stop_update_param = a.stop_update_param
     cfg.drop_initial_3dgs_p = a.drop_initial_3dgs_p
+    cfg.drop_duplicate_gaussians_coeff = a.drop_duplicate_gaussians_coeff
+    cfg.quiet = a.quiet
+    cfg.log_folder = a.log_folder
+    cfg.end2end_time = bool(a.end2end_time)
+    cfg.check_gpu_memory = a.check_gpu_memory
+    cfg.check_cpu_memory = a.check_cpu_memory
+    cfg.log_memory_summary = a.log_memory_summary
+    cfg.nsys_profile = a.nsys_profile
+    cfg.pipeline.debug = a.debug or a.zhx_debug
+    # ref backend names: "default" (their CUDA fork) -> auto, "gsplat"
+    # (their second backend) -> the pure-XLA backend
+    cfg.pipeline.backend = {"default": "auto", "gsplat": "jax"}.get(
+        a.backend, a.backend)
     d = cfg.dist
     d.bsz = a.bsz
     d.gaussians_distribution = bool(a.gaussians_distribution)
@@ -169,7 +228,9 @@ def args_to_config(a):
     cfg.auto_start_checkpoint = a.auto_start_checkpoint
     cfg.seed = a.seed
     cfg.log_interval = a.log_interval
-    cfg.enable_timer = a.enable_timer
+    cfg.enable_timer = a.enable_timer or a.zhx_time
+    d.image_distribution_mode = a.image_distribution_mode
+    d.border_divpos_coeff = a.border_divpos_coeff
     return cfg.finalize()
 
 
@@ -213,6 +274,10 @@ def main():
     import jax
     if a.platform:
         jax.config.update("jax_platforms", a.platform)
+    if a.detect_anomaly:
+        # fail fast on NaN/Inf anywhere in the jitted step (the JAX
+        # analogue of ref torch.autograd.set_detect_anomaly, train.py:67)
+        jax.config.update("jax_debug_nans", True)
     if os.environ.get("GRENDEL_MULTIHOST"):
         # multi-host launch (one process per host on a pod slice):
         # coordinator/process env vars per standard JAX distributed setup
@@ -243,21 +308,27 @@ def main():
     else:
         from grendel_tpu.data import Scene
 
+        t_load = time.time()
         scene = Scene(
             a.source_path, images=a.images, eval_split=a.eval,
             llffhold=a.llffhold, white_background=a.white_background,
             num_train=a.num_train_cameras, num_test=a.num_test_cameras,
             seed=a.seed, resolution=a.resolution,
             decode_mask=make_decode_mask(cfg, devices),
+            decode_workers=8 if a.multiprocesses_image_loading else 1,
         )
+        if a.time_image_loading:
+            print(f"[timing] scene + GT decode: {time.time() - t_load:.2f}s",
+                  flush=True)
         stored = sum(c.gt_image_u8 is not None for c in scene.train_cameras)
         if stored < len(scene.train_cameras):
             print(f"[storage] host {jax.process_index()}: decoded "
                   f"{stored}/{len(scene.train_cameras)} train GT images "
                   f"(--distributed_dataset_storage; rest decode on demand)",
                   flush=True)
-    log_path = os.path.join(cfg.model.model_path,
-                            f"python_ws={ws}_rk=0.log")
+    os.makedirs(cfg.log_folder, exist_ok=True)
+    log_path = os.path.join(cfg.log_folder,
+                            f"python_ws={ws}_rk={jax.process_index()}.log")
     with open(log_path, "a") as log_file:
         trainer = Trainer(cfg, scene, devices=devices, log_file=log_file)
         trainer.train()

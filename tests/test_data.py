@@ -289,3 +289,45 @@ def test_scene_decode_mask_lazy_gt(colmap_scene_dir):
     pos = np.array([0, 2 * tiles_y], np.int32)
     pack_gt_rows(scene.train_cameras[:2], pos, 1, 2 * tiles_y, 16, h, w)
     assert cam_mod.LAZY_DECODE_COUNT[0] == n1 + 1
+
+
+def test_train_cli_accepts_reference_flag_surface(tmp_path):
+    """A Grendel-GS-style command line parses and lands in the config
+    (the flag-name surface is part of the compatibility contract)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from train import args_to_config, build_parser
+
+    argv = [
+        "-s", "scene", "-m", str(tmp_path), "--eval", "--llffhold", "8",
+        "--bsz", "4", "--backend", "default", "--iterations", "30000",
+        "--image_distribution_mode", "final",
+        "--border_divpos_coeff", "2.0",
+        "--densify_memory_limit_percentage", "0.8",
+        "--lr_scale_pos_and_scale", "1.5",
+        "--sync_grad_mode", "sparse",
+        "--grad_normalization_mode", "divide_by_visible_count",
+        "--zhx_time", "--zhx_debug", "--end2end_time", "1",
+        "--check_gpu_memory", "--check_cpu_memory", "--log_memory_summary",
+        "--nsys_profile", "--detect_anomaly", "--quiet",
+        "--log_folder", str(tmp_path / "logs"),
+        "--multiprocesses_image_loading", "0", "--time_image_loading",
+        "--drop_duplicate_gaussians_coeff", "2.0",
+        "--distributed_dataset_storage", "1", "--local_sampling",
+    ]
+    a = build_parser().parse_args(argv)
+    cfg = args_to_config(a)
+    assert cfg.pipeline.backend == "auto"        # ref 'default' mapped
+    assert cfg.dist.border_divpos_coeff == 2.0
+    assert cfg.opt.densify_memory_limit_percentage == 0.8
+    assert cfg.opt.lr_scale_pos_and_scale == 1.5
+    assert cfg.dist.sync_grad_mode == "sparse"
+    assert cfg.dist.grad_normalization_mode == "divide_by_visible_count"
+    assert cfg.enable_timer and cfg.pipeline.debug   # zhx aliases
+    assert cfg.quiet and cfg.nsys_profile and cfg.check_gpu_memory
+    assert cfg.log_folder == str(tmp_path / "logs")
+    assert cfg.drop_duplicate_gaussians_coeff == 2.0
+    # gsplat backend name maps to the pure-XLA backend
+    a2 = build_parser().parse_args(["-s", "x", "--backend", "gsplat"])
+    assert args_to_config(a2).pipeline.backend == "jax"

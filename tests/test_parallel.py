@@ -263,3 +263,30 @@ def test_distributed_ssim_exact_on_camera_aligned_division(mesh8, small_scene):
         float(metrics["ssim"]), float(jnp.sum(percam[:, 1])), rtol=2e-4)
     np.testing.assert_allclose(
         float(metrics["l1"]), float(jnp.sum(percam[:, 0])), rtol=2e-4)
+
+
+def test_divide_rows_border_snap():
+    """Division points within border_coeff rows of an image boundary snap
+    to the boundary (ref --border_divpos_coeff,
+    workload_division.py:889-906)."""
+    from grendel_tpu.parallel import divide_rows
+
+    # 2 images x 10 rows, mass arranged so the midpoint falls 1 row past
+    # the first image boundary
+    h = np.ones(20)
+    h[:11] = 0.9
+    pos = divide_rows(h, 2, 20)
+    assert pos[1] == 11                 # no snapping without the coeff
+    pos = divide_rows(h, 2, 20, rows_per_image=10, border_coeff=1.0)
+    assert pos[1] == 10, pos            # snapped down to the boundary
+    # and the near-upper-boundary case snaps up
+    h2 = np.ones(20)
+    h2[:9] = 1.3
+    pos = divide_rows(h2, 2, 20)
+    assert pos[1] == 9
+    pos = divide_rows(h2, 2, 20, rows_per_image=10, border_coeff=1.0)
+    assert pos[1] == 10, pos
+    # interior points untouched
+    h3 = np.ones(20)
+    pos = divide_rows(h3, 4, 20, rows_per_image=10, border_coeff=1.0)
+    assert list(pos) == [0, 5, 10, 15, 20]
