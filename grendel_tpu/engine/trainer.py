@@ -866,8 +866,14 @@ class Trainer:
         if gen is not None and gen != self._retune_gen:
             return
         want = self._isect_cap_target()
+        # also compare against the CURRENT compiled capacity: a step
+        # dispatched just before a retune carries the new generation but
+        # the old pcfg, and re-acting on it would clear the trainer cache
+        # for the size it already has (observed: a duplicated ~85s
+        # recompile at garden-30k scale)
         if (num_isects > 0.92 * pcfg.isect_capacity
-                and want > pcfg.isect_capacity):
+                and want > pcfg.isect_capacity
+                and want > self._isect_cap()):
             self._isect_cap_current = want
             self._retune()
             self._isect_shrink_checks = 0
@@ -882,7 +888,7 @@ class Trainer:
             self._log(
                 f"isect over capacity ({num_isects}/{pcfg.isect_capacity}) "
                 f"at the HBM ceiling; dropping farthest entries")
-        elif want < pcfg.isect_capacity / 1.4:
+        elif want < pcfg.isect_capacity / 1.4 and want < self._isect_cap():
             # sustained shrink opportunity: per-index hot-path ops scale
             # with capacity, so one recompile pays for itself quickly
             self._isect_shrink_checks += 1
