@@ -108,11 +108,13 @@ class Trainer:
         # never size the entry buffer below this (recompile hygiene at tiny
         # scale; tests lower it to exercise the shrink/regrow transient)
         self.isect_cap_floor = 1 << 14
-        # decayed peak of observed true intersection counts: the capacity
-        # picker sizes the entry buffer from THIS, not from a static
-        # factor*N guess — every per-index op on the hot path (payload
-        # gather, tile sort, segment-sum) scales with capacity, and a 2x
-        # oversized buffer was measured at ~35ms/step at garden scale
+        # windowed peak of observed true intersection counts (two
+        # epoch-length max buckets, see _check_capacity_telemetry): the
+        # capacity picker sizes the entry buffer from THIS, not from a
+        # static factor*N guess — every per-index op on the hot path
+        # (payload gather, tile sort, segment-sum) scales with capacity,
+        # and a 2x oversized buffer was measured at ~35ms/step at garden
+        # scale
         self._isect_peak = 0.0
         self._isect_shrink_checks = 0
         # the capacity actually compiled with: changes ONLY at the
@@ -258,7 +260,7 @@ class Trainer:
         return jax.tree.map(put, state, specs)
 
     def _isect_cap_target(self) -> int:
-        """Entry-buffer capacity target: 1.15x headroom over the decayed
+        """Entry-buffer capacity target: 1.15x headroom over the windowed
         observed peak intersection count, rounded up to a 1/8-power-of-two
         mantissa step (>= multiple of 128 for the Pallas CHUNK). Before any
         telemetry, fall back to isect_capacity_factor * n_local. Pow2
@@ -847,22 +849,30 @@ class Trainer:
         no longer exists, and acting on it can thrash an extra recompile
         (a shrink immediately followed by the transient's return)."""
         num_isects = int(np.asarray(metrics["num_isects"]).max())
-        # decayed peak: follows growth instantly (num_isects is the TRUE
-        # count even when over capacity, so one recompile jumps straight to
-        # the right size — no doubling ladder), releases the early-training
-        # giant-splat transient slowly enough to avoid recompile thrash.
-        # The decay is per ITERATION, not per check (~2k-iteration
-        # half-life): multi-device folds telemetry every step, and a
-        # per-check 0.995 would halve the peak within one epoch's camera
-        # cycle — forgetting the heaviest camera between its visits and
-        # thrashing shrink/grow recompiles.
+        # WINDOWED peak (two epoch-length buckets): follows growth
+        # instantly (num_isects is the TRUE count even when over capacity,
+        # so one recompile jumps straight to the right size — no doubling
+        # ladder), and releases a transient within two epochs. An epoch is
+        # exactly one visit of every camera, so the heaviest camera is
+        # always remembered (the previous exponential decay either forgot
+        # it mid-epoch — shrink/grow thrash — or, tuned slow enough to be
+        # safe, sat on the 3x-oversized startup-transient buffer for ~2k
+        # iterations; observed on the garden-30k drive).
         if it is not None:
-            span = max(it - getattr(self, "_telemetry_it", 0), 0)
             self._telemetry_it = it
         else:
-            span = self.cfg.dist.bsz
-        self._isect_peak = max(float(num_isects),
-                               self._isect_peak * 0.9996 ** span)
+            self._telemetry_it = getattr(self, "_telemetry_it", 0) \
+                + self.cfg.dist.bsz
+        window = max(self.dataset.epoch_len, 50)
+        if not hasattr(self, "_peak_buckets"):
+            self._peak_buckets = [0.0, 0.0]
+            self._peak_window_start = self._telemetry_it
+        if self._telemetry_it - self._peak_window_start >= window:
+            self._peak_buckets = [self._peak_buckets[1], 0.0]
+            self._peak_window_start = self._telemetry_it
+        self._peak_buckets[1] = max(self._peak_buckets[1],
+                                    float(num_isects))
+        self._isect_peak = max(self._peak_buckets)
         if gen is not None and gen != self._retune_gen:
             return
         want = self._isect_cap_target()

@@ -30,11 +30,15 @@ def main():
     p.add_argument("--bsz", type=int, default=1)
     p.add_argument("--resolution", "-r", type=float, default=None,
                    help="GT downscale (defaults to the training run's)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX platform, e.g. 'cpu'")
     a = p.parse_args()
 
     import json
     import numpy as np
     import jax
+    if a.platform:
+        jax.config.update("jax_platforms", a.platform)
     import jax.numpy as jnp
     from PIL import Image
     from jax.sharding import Mesh
@@ -61,7 +65,15 @@ def main():
             a.resolution = saved.get("resolution", -1)
     if a.resolution is None:
         a.resolution = -1
-    if not a.source_path:
+    synthetic = None
+    if not a.source_path and os.path.exists(args_json):
+        with open(args_json) as f:
+            saved = json.load(f)
+        if saved.get("synthetic"):
+            # models trained with --synthetic: rebuild the deterministic
+            # synthetic scene from the saved args (same cameras + GT)
+            synthetic = saved
+    if not a.source_path and synthetic is None:
         raise SystemExit("need --source_path (not found in saved args)")
 
     # find iteration
@@ -76,7 +88,18 @@ def main():
     n_dev = len(devices)
     mesh = Mesh(np.array(devices), ("d",))
 
-    scene = Scene(a.source_path, images=a.images, eval_split=a.eval,
+    if synthetic is not None:
+        from grendel_tpu.testing import SyntheticScene
+
+        w_s, h_s = (int(x) for x in synthetic["synthetic_size"].split("x"))
+        scene = SyntheticScene(
+            width=w_s, height=h_s,
+            sh_degree=min(synthetic.get("sh_degree", 3), 1),
+            seed=synthetic.get("seed", 0),
+            n_gaussians=synthetic.get("synthetic_gaussians", 400),
+            n_init_points=synthetic.get("synthetic_points", 300))
+    else:
+        scene = Scene(a.source_path, images=a.images, eval_split=a.eval,
                   llffhold=a.llffhold, white_background=a.white_background,
                   resolution=a.resolution)
     h = scene.train_cameras[0].height
