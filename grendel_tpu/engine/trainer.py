@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..cameras import Camera, batch_camera_arrays
+from ..cameras import Camera, CameraArrays, batch_camera_arrays
 from ..config import TrainConfig, check_update_at_this_iter
 from ..data.scene import Scene, SceneDataset
 from ..models import init_from_pcd, scaled_lrs
@@ -205,6 +205,25 @@ class Trainer:
         warm = cfg.dist.adjust_strategy_warmp_iterations
         self.warmup_iters = (
             len(scene.train_cameras) if warm < 0 else warm)
+
+        # device-resident camera bank: per-step camera matrices are tiny,
+        # but uploading 4 host arrays per step costs 4 tunnel RPCs on this
+        # transport (~25ms each single-call). Upload every train camera
+        # ONCE and index the bank on device per step.
+        cams_all = scene.train_cameras
+        self._cam_bank = jax.device_put(
+            CameraArrays(
+                viewmat=np.stack([c.world_view for c in cams_all]),
+                full_proj=np.stack([c.full_proj for c in cams_all]),
+                campos=np.stack([c.camera_center for c in cams_all]),
+                tanfov=np.stack(
+                    [[c.tanfovx, c.tanfovy] for c in cams_all]
+                ).astype(np.float32),
+            ),
+            NamedSharding(self.mesh, P()))
+        self._cam_bank_index = {c.uid: i for i, c in enumerate(cams_all)}
+        self._bg_device = jax.device_put(
+            jnp.asarray(self.bg, jnp.float32), NamedSharding(self.mesh, P()))
 
         # --preload_dataset_to_gpu: GT images live in HBM; tile rows are
         # gathered on-device per step instead of host-packed + H2D-copied.
@@ -607,16 +626,19 @@ class Trainer:
                     heur, self.n_devices, pcfg.n_row_slots,
                     rows_per_image=self._tiles_y(),
                     border_coeff=cfg.dist.border_divpos_coeff)
+            bank_ids = jnp.asarray(
+                [self._cam_bank_index[c.uid] for c in batch], jnp.int32)
+            # one upload of division_pos, shared by the GT packer and the
+            # step (each np argument to a jit is its own H2D transfer)
+            pos_dev = jnp.asarray(pos_np)
             if self._gt_device is not None:
-                cam_ids = np.asarray(
-                    [self._gt_index[c.uid] for c in batch], np.int32)
+                # the GT bank shares the camera-bank index order
                 gt_rows = self._gt_packer(pcfg)(
-                    self._gt_device, jnp.asarray(cam_ids),
-                    pos_np)
+                    self._gt_device, bank_ids, pos_dev)
             else:
                 gt_rows = self._gt_rows_array(batch, pos_np, pcfg, trainer)
 
-            bg = self.bg
+            bg = self._bg_device
             if cfg.opt.random_background:
                 bg = np.asarray(
                     np.random.default_rng(cfg.seed + it).random(3),
@@ -624,9 +646,16 @@ class Trainer:
             self.timer.stop("10 division+pack")
 
             self.timer.start("50 step")
+            # camera matrices come from the device-resident bank (one tiny
+            # index upload instead of 4 host arrays = 4 tunnel RPCs)
+            cams_dev = CameraArrays(
+                viewmat=self._cam_bank.viewmat[bank_ids],
+                full_proj=self._cam_bank.full_proj[bank_ids],
+                campos=self._cam_bank.campos[bank_ids],
+                tanfov=self._cam_bank.tanfov[bank_ids],
+            )
             self.state, metrics = trainer.step(
-                self.state, batch_camera_arrays(batch), gt_rows,
-                pos_np, bg)
+                self.state, cams_dev, gt_rows, pos_dev, bg)
             self.timer.stop("50 step", sync_on=metrics["loss"]
                             if cfg.enable_timer else None)
             self._update_hbm_ceiling(trainer, pcfg)
@@ -680,7 +709,10 @@ class Trainer:
             # epoch boundary so no extra syncs are introduced
             self._epoch_losses.append(metrics["loss"])
             if self.dataset.epoch != self._last_epoch:
-                vals = [float(jax.device_get(v)) for v in self._epoch_losses]
+                # ONE stacked fetch: per-scalar device_gets are ~25ms
+                # tunnel RPCs each (one per step of the epoch)
+                vals = np.asarray(jax.device_get(
+                    jnp.stack(self._epoch_losses)))
                 self._log(f"epoch {self._last_epoch} done at iter {it}: "
                           f"avg loss {np.mean(vals):.5f} ({len(vals)} steps)")
                 self._epoch_losses = []
@@ -848,7 +880,15 @@ class Trainer:
         decayed peak — their capacity comparison is against a buffer that
         no longer exists, and acting on it can thrash an extra recompile
         (a shrink immediately followed by the transient's return)."""
-        num_isects = int(np.asarray(metrics["num_isects"]).max())
+        if "telemetry" in metrics:
+            # one packed fetch (one tunnel RPC) instead of two
+            tel = np.asarray(metrics["telemetry"])
+            d = tel.shape[0] // 2
+            num_isects = int(tel[:d].max())
+            overflow = int(tel[d:].sum())
+        else:
+            num_isects = int(np.asarray(metrics["num_isects"]).max())
+            overflow = int(np.asarray(metrics["a2a_overflow"]).sum())
         # WINDOWED peak (two epoch-length buckets): follows growth
         # instantly (num_isects is the TRUE count even when over capacity,
         # so one recompile jumps straight to the right size — no doubling
@@ -913,7 +953,6 @@ class Trainer:
                     f"entry buffer -> {want} (recompile)")
         else:
             self._isect_shrink_checks = 0
-        overflow = int(np.asarray(metrics["a2a_overflow"]).sum())
         if overflow > 0:
             self._a2a_factor = getattr(self, "_a2a_factor", 1.0) * 1.5
             self._retune()

@@ -634,16 +634,23 @@ class ShardedTrainer:
             # REPLICATED array; under multi-host each process can only
             # device_get fully-replicated values, and every host needs the
             # full cost picture to compute the same division_pos anyway
+            num_isects_g = jax.lax.all_gather(aux["num_isects"], AXIS)
+            overflow_g = jax.lax.all_gather(aux["a2a_overflow"], AXIS)
             metrics = {
                 "loss": loss,
                 "l1": jax.lax.psum(aux["l1_partial"], AXIS),
                 "ssim": jax.lax.psum(aux["ssim_partial"], AXIS),
                 "per_row_entries": jax.lax.all_gather(
                     aux["per_row_entries"], AXIS),                 # (D, R)
-                "num_isects": jax.lax.all_gather(
-                    aux["num_isects"], AXIS),                      # (D,)
-                "a2a_overflow": jax.lax.all_gather(
-                    aux["a2a_overflow"], AXIS),                    # (D,)
+                "num_isects": num_isects_g,                        # (D,)
+                "a2a_overflow": overflow_g,                        # (D,)
+                # packed copy of (num_isects | a2a_overflow): the host
+                # tuner reads telemetry EVERY step, and on a tunneled
+                # transport each device_get is a ~25ms RPC — one packed
+                # fetch instead of two halves the per-step host tax
+                "telemetry": jnp.concatenate(
+                    [num_isects_g.astype(jnp.float32),
+                     overflow_g.astype(jnp.float32)]),             # (2D,)
                 "xyz_lr": xyz_lr,
             }
             return new_state, metrics
@@ -651,7 +658,7 @@ class ShardedTrainer:
         metrics_spec = {
             "loss": P(), "l1": P(), "ssim": P(),
             "per_row_entries": P(), "num_isects": P(),
-            "a2a_overflow": P(), "xyz_lr": P(),
+            "a2a_overflow": P(), "telemetry": P(), "xyz_lr": P(),
         }
 
         self._step = jax.jit(shard_map(
