@@ -108,6 +108,9 @@ class Trainer:
         # never size the entry buffer below this (recompile hygiene at tiny
         # scale; tests lower it to exercise the shrink/regrow transient)
         self.isect_cap_floor = 1 << 14
+        # shrink only when the buffer is this many times oversized (see
+        # _check_capacity_telemetry; tests lower it)
+        self.isect_shrink_gap = 2.0
         # windowed peak of observed true intersection counts (two
         # epoch-length max buckets, see _check_capacity_telemetry): the
         # capacity picker sizes the entry buffer from THIS, not from a
@@ -938,7 +941,13 @@ class Trainer:
             self._log(
                 f"isect over capacity ({num_isects}/{pcfg.isect_capacity}) "
                 f"at the HBM ceiling; dropping farthest entries")
-        elif want < pcfg.isect_capacity / 1.4 and want < self._isect_cap():
+        elif (want < pcfg.isect_capacity / self.isect_shrink_gap
+                and want < self._isect_cap()):
+            # shrink only when >= gap-x oversized (default 2x): a recompile
+            # costs minutes at benchmark scale (measured 2-8 min through
+            # the remote compile service) while the per-step saving is
+            # ~25ns/entry — smaller gaps don't pay for themselves between
+            # reset cycles
             # sustained shrink opportunity: per-index hot-path ops scale
             # with capacity, so one recompile pays for itself quickly
             self._isect_shrink_checks += 1

@@ -62,6 +62,7 @@ def runs(scene, tmp_path_factory, eight_devices):
         tmp = tmp_path_factory.mktemp(name)
         tr = Trainer(_cfg(tmp, bsz), scene, devices=list(devs))
         tr.isect_cap_floor = 2048
+        tr.isect_shrink_gap = 1.4   # observable transient at toy scale
         tr.train()
         r = tr.eval_psnr(scene.test_cameras, sh_degree=1)
         out[name] = {"psnr": r["psnr"], "hist": tr.densify_history,
