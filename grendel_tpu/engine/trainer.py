@@ -288,15 +288,19 @@ class Trainer:
         telemetry, fall back to isect_capacity_factor * n_local. Pow2
         doubling wasted up to 2x on the capacity-proportional per-index
         ops (gather/sort/segment-sum ~ 10-13ns per index on TPU)."""
+        return self._round_cap(self._raw_cap_target())
+
+    def _raw_cap_target(self) -> float:
         p = self.cfg.pipeline
         if self._isect_peak > 0:
             # 1.15x headroom (was 1.3): gather/sort/segment-sum all scale
             # with capacity (~40ms of cap-proportional work at garden
             # scale), and the grow trigger at 0.92*cap still leaves a +6%
             # num_isects margin over the decayed peak before a recompile
-            target = 1.15 * self._isect_peak
-        else:
-            target = p.isect_capacity_factor * self.n_local
+            return 1.15 * self._isect_peak
+        return p.isect_capacity_factor * self.n_local
+
+    def _round_cap(self, target: float) -> int:
         n = max(int(target), self.isect_cap_floor)
         k = max(int(np.floor(np.log2(n))) - 3, 7)
         cap = -(-n // (1 << k)) << k
@@ -927,6 +931,12 @@ class Trainer:
         if (num_isects > 0.92 * pcfg.isect_capacity
                 and want > pcfg.isect_capacity
                 and want > self._isect_cap()):
+            # overshoot growth (>= 1.35x the current buffer): demand often
+            # grows steadily through a densification phase, and growing to
+            # exactly 1.15x the new peak re-triggered a multi-minute
+            # recompile every ~1k iterations; overshooting bounds the
+            # grow-recompile count logarithmically
+            want = max(want, self._round_cap(1.35 * pcfg.isect_capacity))
             self._isect_cap_current = want
             self._retune()
             self._isect_shrink_checks = 0
