@@ -59,25 +59,25 @@ T_EPS = 1e-4
 PAYLOAD_W = 16
 CHUNK = 128
 
-# Backward-kernel pixel-axis reductions on the MXU (ones-row matmul)
-# instead of log-step sublane rolls. The MXU rounds f32 through bf16, so
-# this perturbs GRADIENTS only (forward stays exact f32); relative error
-# is ~1e-3 — inside the cross-backend hardware tolerance band already
-# accepted by tests/test_tpu_hw.py, and far below what Adam training
-# tolerates. Set GRENDEL_EXACT_BWD_REDUCE=1 to force exact VPU sums.
+# Backward-kernel pixel reductions + prefix scan: exact VPU f32 by
+# default. The round-3 measurement story, in order:
+#   * MXU single-pass bf16 reductions are ~3ms/step faster than the VPU
+#     scans at garden scale, but a 2-seed training A/B measured the
+#     rounding costing ~0.5-0.7 dB final PSNR;
+#   * Precision.HIGHEST (6-pass bf16 emulation) is gradient-exact to
+#     1.8e-7 but SLOWER than the plain VPU scans at the tuned capacity
+#     (53.9 vs 50.8 ms fwd+bwd) — the emulation passes eat the win;
+#   * Mosaic does not lower Precision.HIGH (3-pass), so there is no
+#     middle tier.
+# => default = exact VPU (bit-exact AND fastest exact option).
+# GRENDEL_FAST_BWD_REDUCE=1 opts into the single-pass bf16 MXU route for
+# the ~3ms/step, quality tradeoff documented in ROUND3_NOTES.md.
+# (GRENDEL_EXACT_BWD_REDUCE=1 is still accepted and forces exact.)
 import os as _os
-_MXU_BWD_REDUCE = _os.environ.get("GRENDEL_EXACT_BWD_REDUCE", "0") != "1"
-# MXU dot precision for the backward reductions/prefix. A round-3 training
-# A/B measured plain bf16 rounding costing ~0.5-0.7 dB final PSNR (two
-# seeds, 2.5k-iter synthetic convergence to ~27.5 dB), so the default is
-# HIGHEST: XLA's multi-pass bf16 emulation of an f32 matmul (hardware-
-# measured max gradient error vs the exact VPU scans: 1.8e-7 relative —
-# f32-identical for training purposes). GRENDEL_FAST_BWD_REDUCE=1 opts
-# back into single-pass bf16 (~2ms faster per garden-scale step).
-_MXU_PRECISION = (
-    jax.lax.Precision.DEFAULT
-    if _os.environ.get("GRENDEL_FAST_BWD_REDUCE", "0") == "1"
-    else jax.lax.Precision.HIGHEST)
+_MXU_BWD_REDUCE = (
+    _os.environ.get("GRENDEL_FAST_BWD_REDUCE", "0") == "1"
+    and _os.environ.get("GRENDEL_EXACT_BWD_REDUCE", "0") != "1")
+_MXU_PRECISION = jax.lax.Precision.DEFAULT
 
 
 def _cumsum_lanes(x):

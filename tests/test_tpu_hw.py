@@ -81,18 +81,18 @@ def test_pallas_matches_jax_on_hardware():
 
 
 def test_mxu_bwd_reduce_gradient_error_band():
-    """Regression guard for the MXU backward-reduction rounding (bf16
-    pixel reductions + triangular-matmul prefix): gradients vs the exact
-    VPU mode must stay inside the band the round-3 training-quality A/B
-    validated (ROUND3_NOTES.md: identical 2.5k-iter convergence and final
-    PSNR within 0.1 dB between modes)."""
+    """Regression guard for the OPT-IN fast bf16 MXU backward route
+    (GRENDEL_FAST_BWD_REDUCE=1): its gradient rounding vs the exact-VPU
+    default must stay inside the band the round-3 training-quality A/B
+    characterized (~0.5-0.7 dB final PSNR cost at these magnitudes — the
+    reason the default is the exact mode, ROUND3_NOTES.md)."""
     import grendel_tpu.ops.rasterize_pallas as rp
 
-    f_mxu, _, args = _scene_and_fns()
-    assert rp._MXU_BWD_REDUCE, "run without GRENDEL_EXACT_BWD_REDUCE=1"
-    (v_m, _), g_m = f_mxu(*args)
     old = rp._MXU_BWD_REDUCE
     try:
+        rp._MXU_BWD_REDUCE = True
+        f_mxu, _, args = _scene_and_fns()
+        (v_m, _), g_m = f_mxu(*args)
         rp._MXU_BWD_REDUCE = False
         f_exact, _, _ = _scene_and_fns()
         (v_e, _), g_e = f_exact(*args)
@@ -105,8 +105,10 @@ def test_mxu_bwd_reduce_gradient_error_band():
         d = np.abs(a - b) / s
         print(f"mxu-vs-exact {name}: med={np.median(d):.2e} "
               f"q999={np.quantile(d, 0.999):.2e} max={d.max():.2e}")
-        assert np.median(d) < 5e-5, name
-        assert np.quantile(d, 0.999) < 5e-3, name
+        # single-pass bf16 band (measured: m2d med ~1.5e-4, max ~4.5e-3);
+        # this magnitude of rounding is what cost ~0.5-0.7 dB in the A/B
+        assert np.median(d) < 6e-4, name
+        assert np.quantile(d, 0.999) < 1e-2, name
         assert d.max() < 3e-2, name
 
 
