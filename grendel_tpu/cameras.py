@@ -13,6 +13,8 @@ CPU-resident ``original_image_backup`` design.
 from __future__ import annotations
 
 import dataclasses
+import os
+from collections import OrderedDict
 from typing import Callable, Optional
 
 import jax.numpy as jnp
@@ -24,6 +26,57 @@ from .utils.math3d import world_to_view, perspective_projection
 # distributed-dataset-storage policy: a host that stores only its stride of
 # the dataset decodes the rest lazily; tests assert on this counter).
 LAZY_DECODE_COUNT = [0]
+
+
+class DecodedLru:
+    """Byte-budgeted LRU of lazily-decoded GT images.
+
+    Under --distributed_dataset_storage a host stores only its stride of
+    the dataset; any other camera the balancer routes rows from decodes on
+    demand. Without a cache that was a full JPEG decode per step per
+    touched camera (~40ms at 1296x840, ~600ms at 4K — measured round 4),
+    where the reference decodes once at load and P2P-ships row slices
+    (loss_distribution.py:2444-2532). The budget (not an item count) keeps
+    host memory bounded at 4K scale; within an epoch each camera is
+    decoded at most once as long as the working set fits.
+    """
+
+    def __init__(self, max_bytes: Optional[int] = None):
+        if max_bytes is None:
+            max_bytes = int(os.environ.get(
+                "GRENDEL_GT_CACHE_BYTES", 1 << 30))
+        self.max_bytes = max_bytes
+        self.bytes = 0
+        # id(cam) -> (cam, img); holding the camera ref keeps its id valid
+        self._entries: OrderedDict = OrderedDict()
+
+    def get(self, cam) -> Optional[np.ndarray]:
+        k = id(cam)
+        hit = self._entries.get(k)
+        if hit is None:
+            return None
+        self._entries.move_to_end(k)
+        return hit[1]
+
+    def put(self, cam, img: np.ndarray):
+        if img.nbytes > self.max_bytes:
+            return
+        k = id(cam)
+        if k in self._entries:
+            self.bytes -= self._entries[k][1].nbytes
+        self._entries[k] = (cam, img)
+        self._entries.move_to_end(k)
+        self.bytes += img.nbytes
+        while self.bytes > self.max_bytes and self._entries:
+            _, (_, old) = self._entries.popitem(last=False)
+            self.bytes -= old.nbytes
+
+    def clear(self):
+        self._entries.clear()
+        self.bytes = 0
+
+
+GT_DECODE_CACHE = DecodedLru()
 
 
 @dataclasses.dataclass
@@ -43,8 +96,9 @@ class Camera:
     scale: float = 1.0
     # --distributed_dataset_storage: cameras NOT stored on this host keep
     # gt_image_u8=None and carry a decoder instead; gt() decodes on demand
-    # without caching (the reference's analogue stores GT only on node
-    # rank 0, scene/cameras.py:52-73, and P2P-ships row slices per step)
+    # through the byte-budgeted GT_DECODE_CACHE LRU (the reference's
+    # analogue stores GT only on node rank 0, scene/cameras.py:52-73, and
+    # P2P-ships row slices per step)
     gt_loader: Optional[Callable[[], np.ndarray]] = None
 
     def __post_init__(self):
@@ -54,12 +108,18 @@ class Camera:
         self.camera_center = np.linalg.inv(self.world_view)[:3, 3].astype(np.float32)
 
     def gt(self) -> Optional[np.ndarray]:
-        """GT image, decoding on demand for lazily-stored cameras."""
+        """GT image, decoding on demand (LRU-cached) for lazily-stored
+        cameras — the decode counter advances once per cache miss, so per
+        epoch it is bounded by #cameras-touched, not #steps x bsz."""
         if self.gt_image_u8 is not None:
             return self.gt_image_u8
         if self.gt_loader is not None:
-            LAZY_DECODE_COUNT[0] += 1
-            return self.gt_loader()
+            img = GT_DECODE_CACHE.get(self)
+            if img is None:
+                LAZY_DECODE_COUNT[0] += 1
+                img = self.gt_loader()
+                GT_DECODE_CACHE.put(self, img)
+            return img
         return None
 
     @property

@@ -348,6 +348,8 @@ class Trainer:
             backend=backend,
             gaussians_distribution=gauss_dist,
             send_cap_factor=getattr(self, "_a2a_factor", 1.0),
+            random_background=self.cfg.opt.random_background,
+            bg_seed=self.cfg.seed,
         ).resolved(n_loc)
 
     def _trainer(self, sh_degree: int) -> ShardedTrainer:
@@ -645,11 +647,11 @@ class Trainer:
             else:
                 gt_rows = self._gt_rows_array(batch, pos_np, pcfg, trainer)
 
+            # --random_background is drawn ON DEVICE inside the jitted step
+            # (iteration-keyed jax.random, parallel/sharded.py) — passing a
+            # fresh host array here cost a ~25ms H2D RPC per step on the
+            # tunneled transport
             bg = self._bg_device
-            if cfg.opt.random_background:
-                bg = np.asarray(
-                    np.random.default_rng(cfg.seed + it).random(3),
-                    jnp.float32)
             self.timer.stop("10 division+pack")
 
             self.timer.start("50 step")
@@ -888,14 +890,17 @@ class Trainer:
         no longer exists, and acting on it can thrash an extra recompile
         (a shrink immediately followed by the transient's return)."""
         if "telemetry" in metrics:
-            # one packed fetch (one tunnel RPC) instead of two
+            # one packed fetch (one tunnel RPC) instead of three
             tel = np.asarray(metrics["telemetry"])
-            d = tel.shape[0] // 2
+            d = tel.shape[0] // 3
             num_isects = int(tel[:d].max())
-            overflow = int(tel[d:].sum())
+            overflow = int(tel[d:2 * d].sum())
+            a2a_demand = int(tel[2 * d:].max())
         else:
             num_isects = int(np.asarray(metrics["num_isects"]).max())
             overflow = int(np.asarray(metrics["a2a_overflow"]).sum())
+            a2a_demand = int(np.asarray(
+                metrics.get("a2a_demand", 0)).max())
         # WINDOWED peak (two epoch-length buckets): follows growth
         # instantly (num_isects is the TRUE count even when over capacity,
         # so one recompile jumps straight to the right size — no doubling
@@ -914,12 +919,17 @@ class Trainer:
         if not hasattr(self, "_peak_buckets"):
             self._peak_buckets = [0.0, 0.0]
             self._peak_window_start = self._telemetry_it
+        if not hasattr(self, "_a2a_buckets"):
+            self._a2a_buckets = [0.0, 0.0]
         if self._telemetry_it - self._peak_window_start >= window:
             self._peak_buckets = [self._peak_buckets[1], 0.0]
+            self._a2a_buckets = [self._a2a_buckets[1], 0.0]
             self._peak_window_start = self._telemetry_it
         self._peak_buckets[1] = max(self._peak_buckets[1],
                                     float(num_isects))
         self._isect_peak = max(self._peak_buckets)
+        self._a2a_buckets[1] = max(self._a2a_buckets[1], float(a2a_demand))
+        self._a2a_peak = max(self._a2a_buckets)
         if gen is not None and gen != self._retune_gen:
             return
         want = self._isect_cap_target()
@@ -973,12 +983,41 @@ class Trainer:
         else:
             self._isect_shrink_checks = 0
         if overflow > 0:
-            self._a2a_factor = getattr(self, "_a2a_factor", 1.0) * 1.5
+            # grow straight to the observed true demand (n_demand telemetry
+            # is the max per-destination count BEFORE capping, so one
+            # recompile jumps to the right size); the 1.5x ratchet stays as
+            # the floor for metrics without demand telemetry
+            cur = getattr(self, "_a2a_factor", 1.0)
+            want = 1.3 * a2a_demand / max(self.n_local, 1)
+            self._a2a_factor = max(cur * 1.5, want)
+            self._a2a_shrink_checks = 0
             self._retune()
             self.capacity_events.append(("a2a_grow", self._a2a_factor))
             self._log(
-                f"a2a bucket overflow ({overflow} entries): raising "
-                f"send_cap_factor -> {self._a2a_factor:.2f} (recompile)")
+                f"a2a bucket overflow ({overflow} entries, demand "
+                f"{a2a_demand}): raising send_cap_factor -> "
+                f"{self._a2a_factor:.2f} (recompile)")
+        elif getattr(self, "_a2a_factor", 1.0) > 1.0 and a2a_demand > 0:
+            # windowed-peak release (two epoch-length max buckets, same
+            # scheme as the isect entry buffer above): a startup overflow
+            # transient must not inflate the a2a buckets forever — payload
+            # bytes on real ICI meshes scale with send_cap. Factor never
+            # shrinks below 1.0 (the untuned default).
+            want = max(1.3 * self._a2a_peak / max(self.n_local, 1), 1.0)
+            if want < self._a2a_factor / 2.0:
+                self._a2a_shrink_checks = getattr(
+                    self, "_a2a_shrink_checks", 0) + 1
+                if self._a2a_shrink_checks >= 20:
+                    self._a2a_factor = want
+                    self._a2a_shrink_checks = 0
+                    self._retune()
+                    self.capacity_events.append(("a2a_shrink", want))
+                    self._log(
+                        f"a2a buckets oversized (windowed demand peak "
+                        f"{self._a2a_peak:.0f} vs cap {pcfg.send_cap}): "
+                        f"send_cap_factor -> {want:.2f} (recompile)")
+            else:
+                self._a2a_shrink_checks = 0
 
     def _update_hbm_ceiling(self, st, pcfg: ParallelConfig):
         """Derive the isect-entry ceiling and HBM occupancy from XLA's

@@ -84,6 +84,13 @@ class ParallelConfig(NamedTuple):
     # False = replicated Gaussians + dense grad psum (the reference's
     # --gaussians_distribution False legacy-DP mode; pixel sharding stays on)
     gaussians_distribution: bool = True
+    # --random_background drawn ON DEVICE from the iteration counter (one
+    # bg per step, shared by the batch like the reference's per-iteration
+    # torch.rand(3); identical across devices because iteration is
+    # replicated). A host-side draw would cost a per-step H2D RPC (~25ms
+    # on the tunneled transport).
+    random_background: bool = False
+    bg_seed: int = 0
 
     @property
     def tiles_x(self) -> int:
@@ -129,8 +136,10 @@ def _route_pack_exchange(
     """Sparse all-to-all of projected Gaussians (see module docstring).
 
     Returns (recv_payload (D*C, PAYLOAD_F), recv_meta (D*C, META_F),
-    n_send_overflow ()). Gradient flows through recv_payload back to the
-    packed local tensors; meta is stop-gradient.
+    n_send_overflow (), n_send_demand ()). Gradient flows through
+    recv_payload back to the packed local tensors; meta is stop-gradient.
+    ``n_send_demand`` is the true max per-destination entry count (the
+    telemetry the host's send_cap tuner sizes the buckets from).
     """
     d_count = cfg.n_devices
     cap = cfg.send_cap
@@ -180,6 +189,7 @@ def _route_pack_exchange(
 
     dest_counts = jnp.diff(dest_start_full)
     n_overflow = jnp.sum(jnp.maximum(dest_counts - cap, 0))
+    n_demand = jnp.max(dest_counts)
 
     # --- gather payload of the (camera, gaussian) behind each flat slot ---
     bi = perm // d_count                                  # index into (B*N)
@@ -221,7 +231,7 @@ def _route_pack_exchange(
     recv_meta = jax.lax.stop_gradient(
         jax.lax.all_to_all(send_meta, AXIS, split_axis=0, concat_axis=0)
     ).reshape(d_count * cap, META_F)
-    return recv_payload, recv_meta, n_overflow
+    return recv_payload, recv_meta, n_overflow, n_demand
 
 
 def _render_owned_rows(
@@ -393,7 +403,7 @@ def _local_forward(
     splats = jax.vmap(proj)(cams.viewmat, cams.full_proj, cams.campos, cams.tanfov)
     means2d = splats.means2d + tap
 
-    recv_payload, recv_meta, n_overflow = _route_pack_exchange(
+    recv_payload, recv_meta, n_overflow, n_demand = _route_pack_exchange(
         means2d, splats.conics, splats.colors, splats.opacities,
         splats.radii, splats.depths, division_pos, cfg,
     )
@@ -416,6 +426,7 @@ def _local_forward(
         "per_row_entries": per_row_entries,
         "num_isects": num_isects,
         "a2a_overflow": n_overflow,
+        "a2a_demand": n_demand,
     }
     return partial, aux
 
@@ -520,6 +531,7 @@ def _local_forward_replicated(
         "per_row_entries": per_row_entries,
         "num_isects": num_isects,
         "a2a_overflow": jnp.zeros((), jnp.int32),
+        "a2a_demand": jnp.zeros((), jnp.int32),
     }
     return partial, aux
 
@@ -586,6 +598,16 @@ class ShardedTrainer:
 
         def step_shard(state: TrainState, cams, gt_rows, division_pos, bg):
             gt_local = gt_rows[0]          # (1, R, ...) -> (R, ...)
+            if cfg.random_background:
+                # one bg per step shared by the batch, derived from the
+                # replicated iteration counter on device (ref draws one
+                # torch.rand(3) per iteration under identical per-rank
+                # seeding, train_internal.py; a host-side draw was a
+                # ~25ms-per-step H2D RPC on the tunneled transport)
+                bg = jax.random.uniform(
+                    jax.random.fold_in(jax.random.key(cfg.bg_seed),
+                                       state.iteration),
+                    (3,), jnp.float32)
 
             def loss_fn(params_loc, tap):
                 partial, aux = forward(
@@ -636,6 +658,7 @@ class ShardedTrainer:
             # full cost picture to compute the same division_pos anyway
             num_isects_g = jax.lax.all_gather(aux["num_isects"], AXIS)
             overflow_g = jax.lax.all_gather(aux["a2a_overflow"], AXIS)
+            demand_g = jax.lax.all_gather(aux["a2a_demand"], AXIS)
             metrics = {
                 "loss": loss,
                 "l1": jax.lax.psum(aux["l1_partial"], AXIS),
@@ -644,13 +667,15 @@ class ShardedTrainer:
                     aux["per_row_entries"], AXIS),                 # (D, R)
                 "num_isects": num_isects_g,                        # (D,)
                 "a2a_overflow": overflow_g,                        # (D,)
-                # packed copy of (num_isects | a2a_overflow): the host
-                # tuner reads telemetry EVERY step, and on a tunneled
-                # transport each device_get is a ~25ms RPC — one packed
-                # fetch instead of two halves the per-step host tax
+                "a2a_demand": demand_g,                            # (D,)
+                # packed copy of (num_isects | a2a_overflow | a2a_demand):
+                # the host tuner reads telemetry EVERY step, and on a
+                # tunneled transport each device_get is a ~25ms RPC — one
+                # packed fetch instead of three
                 "telemetry": jnp.concatenate(
                     [num_isects_g.astype(jnp.float32),
-                     overflow_g.astype(jnp.float32)]),             # (2D,)
+                     overflow_g.astype(jnp.float32),
+                     demand_g.astype(jnp.float32)]),               # (3D,)
                 "xyz_lr": xyz_lr,
             }
             return new_state, metrics
@@ -658,7 +683,8 @@ class ShardedTrainer:
         metrics_spec = {
             "loss": P(), "l1": P(), "ssim": P(),
             "per_row_entries": P(), "num_isects": P(),
-            "a2a_overflow": P(), "telemetry": P(), "xyz_lr": P(),
+            "a2a_overflow": P(), "a2a_demand": P(),
+            "telemetry": P(), "xyz_lr": P(),
         }
 
         self._step = jax.jit(shard_map(
@@ -696,7 +722,7 @@ class ShardedTrainer:
                      splats.depths.reshape(-1),
                      jnp.ones((b * n,), jnp.float32)], axis=-1)
             else:
-                recv_payload, recv_meta, _ = _route_pack_exchange(
+                recv_payload, recv_meta, _, _ = _route_pack_exchange(
                     splats.means2d, splats.conics, splats.colors,
                     splats.opacities, splats.radii, splats.depths,
                     division_pos, cfg,

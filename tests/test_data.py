@@ -285,10 +285,44 @@ def test_scene_decode_mask_lazy_gt(colmap_scene_dir):
     assert cam_mod.LAZY_DECODE_COUNT[0] == n1
     np.testing.assert_array_equal(
         out[0, 0, :, :, :], eager.gt_image_u8[:, :16, :])
-    # spans touching camera 1's rows: exactly ONE lazy decode
+    # spans touching camera 1's rows: served from the decoded-camera LRU
+    # (camera 1 was already decoded above) — per epoch the decode count is
+    # bounded by #cameras-touched, not #steps x bsz
     pos = np.array([0, 2 * tiles_y], np.int32)
+    for _ in range(5):                               # 5 "steps"
+        pack_gt_rows(scene.train_cameras[:2], pos, 1, 2 * tiles_y, 16, h, w)
+    assert cam_mod.LAZY_DECODE_COUNT[0] == n1
+    # evicting the cache forces exactly one fresh decode
+    cam_mod.GT_DECODE_CACHE.clear()
     pack_gt_rows(scene.train_cameras[:2], pos, 1, 2 * tiles_y, 16, h, w)
     assert cam_mod.LAZY_DECODE_COUNT[0] == n1 + 1
+
+
+def test_gt_decode_cache_byte_budget(colmap_scene_dir):
+    """The decoded-camera LRU is byte-budgeted: the working set stays under
+    max_bytes (the point of --distributed_dataset_storage is bounded host
+    memory), evicting least-recently-used cameras first."""
+    from grendel_tpu import cameras as cam_mod
+
+    scene = Scene(str(colmap_scene_dir), eval_split=False, shuffle=False,
+                  decode_mask=lambda i, ci: False)   # all lazy
+    cams = scene.train_cameras
+    img_bytes = cams[0].gt().nbytes
+    lru = cam_mod.DecodedLru(max_bytes=2 * img_bytes)
+    old = cam_mod.GT_DECODE_CACHE
+    cam_mod.GT_DECODE_CACHE = lru
+    try:
+        n0 = cam_mod.LAZY_DECODE_COUNT[0]
+        for c in cams[:3]:
+            c.gt()
+        assert lru.bytes <= lru.max_bytes           # bounded
+        assert cam_mod.LAZY_DECODE_COUNT[0] == n0 + 3
+        cams[2].gt(); cams[1].gt()                  # hits: 1 and 2 resident
+        assert cam_mod.LAZY_DECODE_COUNT[0] == n0 + 3
+        cams[0].gt()                                # evicted -> re-decode
+        assert cam_mod.LAZY_DECODE_COUNT[0] == n0 + 4
+    finally:
+        cam_mod.GT_DECODE_CACHE = old
 
 
 def test_train_cli_accepts_reference_flag_surface(tmp_path):

@@ -91,3 +91,57 @@ def test_converter_key_mapping():
     assert out["conv0_w"].shape == (64, 3, 3, 3)
     assert out["conv12_w"].shape == (512, 512, 3, 3)
     assert out["lin4_w"].shape == (512,)
+
+
+def test_metrics_cli_lpips_end_to_end(tmp_path):
+    """Drop-in readiness (VERDICT r3 next #8): the metrics CLI runs LPIPS
+    end-to-end from an npz in the converter's key layout — with random
+    weights the values are meaningless but the plumbing (flag/env var ->
+    load_weights -> per-view lpips -> results json) is proven, so the day
+    real VGG16 weights appear nothing else is needed."""
+    import json
+    import os
+    from PIL import Image
+    from scripts.metrics import main as metrics_main
+
+    weights = _random_weights(seed=3)
+    wpath = tmp_path / "lpips_vgg16.npz"
+    np.savez(wpath, **weights)
+
+    # a tiny render/gt tree in the layout scripts/render.py writes
+    rng = np.random.default_rng(4)
+    mdir = tmp_path / "model" / "test" / "ours_100"
+    for sub in ("renders", "gt"):
+        os.makedirs(mdir / sub)
+    for i in range(2):
+        img = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        noisy = np.clip(img + rng.normal(0, 10, img.shape), 0,
+                        255).astype(np.uint8)
+        Image.fromarray(img).save(mdir / "gt" / f"{i:05d}.png")
+        Image.fromarray(noisy).save(mdir / "renders" / f"{i:05d}.png")
+
+    metrics_main(["-m", str(tmp_path / "model"),
+                  "--lpips_weights", str(wpath)])
+    results = json.loads((tmp_path / "model" / "results_test.json")
+                         .read_text())
+    lp = results["ours_100"]["LPIPS"]
+    assert lp is not None and np.isfinite(lp) and lp > 0
+    per_view = json.loads((tmp_path / "model" / "per_view_test.json")
+                          .read_text())
+    assert len(per_view["ours_100"]["LPIPS"]) == 2
+
+    # identical renders/gt -> LPIPS exactly 0 through the same path
+    for i in range(2):
+        img = np.asarray(Image.open(mdir / "gt" / f"{i:05d}.png"))
+        Image.fromarray(img).save(mdir / "renders" / f"{i:05d}.png")
+    metrics_main(["-m", str(tmp_path / "model"),
+                  "--lpips_weights", str(wpath)])
+    results = json.loads((tmp_path / "model" / "results_test.json")
+                         .read_text())
+    assert abs(results["ours_100"]["LPIPS"]) < 1e-8
+
+    # without weights the field is null (the gated default)
+    metrics_main(["-m", str(tmp_path / "model")])
+    results = json.loads((tmp_path / "model" / "results_test.json")
+                         .read_text())
+    assert results["ours_100"]["LPIPS"] is None

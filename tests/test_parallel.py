@@ -290,3 +290,52 @@ def test_divide_rows_border_snap():
     h3 = np.ones(20)
     pos = divide_rows(h3, 4, 20, rows_per_image=10, border_coeff=1.0)
     assert list(pos) == [0, 5, 10, 15, 20]
+
+
+def test_random_background_on_device(mesh8, small_scene):
+    """--random_background draws the bg INSIDE the jitted step from the
+    replicated iteration counter (one jax.random draw per step, shared by
+    the batch): it varies per step and is deterministic in the iteration,
+    with no per-step host array (ref train_internal.py draws one
+    torch.rand(3) per iteration under identical per-rank seeding)."""
+    h, w, capacity, cams_host, params, alive = small_scene
+    bsz = 2
+    cfg = ParallelConfig(
+        n_devices=8, bsz=bsz, img_h=h, img_w=w,
+        isect_capacity=4096, max_per_tile=256, chunk=32,
+        random_background=True, bg_seed=7,
+    ).resolved(capacity // 8)
+    lrs, s = scaled_lrs(0.0025, 0.05, 0.005, 0.001, bsz=bsz)
+    sched = XyzLrSchedule(1.6e-3 * s, 1.6e-5 * s, 0.01, 1000)
+    trainer = ShardedTrainer(mesh8, cfg, sh_degree=1, lambda_dssim=0.2,
+                             lrs=lrs, xyz_sched=sched)
+
+    # zero alive gaussians + zero GT: the rendered rows are exactly the
+    # background, so the per-step L1 is a pure readout of the step's bg
+    state = trainer.shard_state(
+        train_state_init(params, jnp.zeros_like(alive)))
+    pos = jnp.asarray(divide_rows(np.ones(cfg.total_rows), 8,
+                                  cfg.n_row_slots))
+    gt_rows = jnp.zeros((8, cfg.n_row_slots, 3, cfg.tile_h, w), jnp.uint8)
+    cams = batch_camera_arrays(cams_host)
+    bg_host = jnp.zeros(3)                   # ignored under the flag
+    state, m1 = trainer.step(state, cams, gt_rows, pos, bg_host)
+    state, m2 = trainer.step(state, cams, gt_rows, pos, bg_host)
+    l1a, l1b = float(m1["l1"]), float(m2["l1"])
+    assert l1a > 1e-3 and l1b > 1e-3         # bg is not the passed zeros
+    assert abs(l1a - l1b) > 1e-6             # varies across steps
+
+    # deterministic in (seed, iteration): a fresh run repeats step 1
+    state0 = trainer.shard_state(
+        train_state_init(params, jnp.zeros_like(alive)))
+    _, m1r = trainer.step(state0, cams, gt_rows, pos, bg_host)
+    np.testing.assert_allclose(float(m1r["l1"]), l1a, rtol=1e-6)
+
+    # flag off: the passed bg is used verbatim -> zero L1 on this setup
+    cfg_off = cfg._replace(random_background=False)
+    t_off = ShardedTrainer(mesh8, cfg_off, sh_degree=1, lambda_dssim=0.2,
+                           lrs=lrs, xyz_sched=sched)
+    s_off = t_off.shard_state(
+        train_state_init(params, jnp.zeros_like(alive)))
+    _, m_off = t_off.step(s_off, cams, gt_rows, pos, bg_host)
+    np.testing.assert_allclose(float(m_off["l1"]), 0.0, atol=1e-7)
