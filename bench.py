@@ -24,7 +24,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bsz", type=int, default=1)
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--tile", type=str, default="16x16",
+                    help="WxH tile geometry (the reference hardwires 16x16;"
+                         " here it is a tunable — VERDICT r3 next #4)")
     a = ap.parse_args()
+    tile_w, tile_h = (int(x) for x in a.tile.split("x"))
     import jax
     import jax.numpy as jnp
     from grendel_tpu.cameras import batch_camera_arrays
@@ -101,15 +105,22 @@ def main():
             jnp.concatenate([p.sh_dc, p.sh_rest], axis=1), al,
             ca.viewmat, ca.full_proj, ca.campos, ca.tanfov,
             h, w, sh_degree)),
-        16, 16, -(-w // 16), -(-h // 16), 1 << 22,
+        tile_w, tile_h, -(-w // tile_w), -(-h // tile_h), 1 << 23,
         opacities=jax.nn.sigmoid(p.opacities_raw)))
     n_isect = int(probe(params, alive, ca0).num_isects)
     n = max(int(1.15 * n_isect), 1 << 14)
     k = max(int(np.floor(np.log2(n))) - 3, 7)
     isect_cap = -(-n // (1 << k)) << k
+    isect_cap = -(-isect_cap // 128) * 128
+    print(f"# tile {tile_w}x{tile_h}: {n_isect} isects/cam, "
+          f"capacity {isect_cap}/cam", file=sys.stderr)
 
-    cfg = RenderConfig(img_h=h, img_w=w, isect_capacity=isect_cap,
-                       max_per_tile=1024, chunk=64, backend=backend)
+    # per-tile depth cutoff scales with tile area so every geometry gets
+    # the same per-PIXEL blend budget (1024 entries per 256-px tile)
+    mpt = 1024 * (tile_w * tile_h) // 256
+    cfg = RenderConfig(img_h=h, img_w=w, tile_w=tile_w, tile_h=tile_h,
+                       isect_capacity=isect_cap,
+                       max_per_tile=mpt, chunk=64, backend=backend)
     rng = np.random.default_rng(seed)
     gt_u8 = jnp.asarray(
         rng.integers(0, 255, (bsz, 3, h, w), dtype=np.uint8))
@@ -153,6 +164,8 @@ def main():
     it_per_s = steps_measured * bsz / dt
     baseline_it_per_s = 30000 / (30.15 * 60)   # garden, 1xA100 (BASELINE.md)
     suffix = "" if bsz == 1 else f"_bsz{bsz}"
+    if (tile_w, tile_h) != (16, 16):
+        suffix += f"_tile{tile_w}x{tile_h}"
     print(json.dumps({
         "metric": f"train_step_throughput_garden4_200k{suffix}",
         "value": round(it_per_s, 3),

@@ -255,7 +255,7 @@ class Trainer:
 
     def _tiles_y(self) -> int:
         h = self.scene.train_cameras[0].height
-        return -(-h // 16)
+        return -(-h // self.cfg.pipeline.tile_h)
 
     def _log(self, msg: str):
         line = f"[{time.strftime('%H:%M:%S')}] {msg}"

@@ -69,9 +69,10 @@ def main():
     if not a.source_path and os.path.exists(args_json):
         with open(args_json) as f:
             saved = json.load(f)
-        if saved.get("synthetic"):
-            # models trained with --synthetic: rebuild the deterministic
-            # synthetic scene from the saved args (same cameras + GT)
+        if saved.get("synthetic") or saved.get("synthetic_structured"):
+            # models trained with --synthetic[_structured]: rebuild the
+            # deterministic synthetic scene from the saved args (same
+            # cameras + GT)
             synthetic = saved
     if not a.source_path and synthetic is None:
         raise SystemExit("need --source_path (not found in saved args)")
@@ -88,7 +89,17 @@ def main():
     n_dev = len(devices)
     mesh = Mesh(np.array(devices), ("d",))
 
-    if synthetic is not None:
+    if synthetic is not None and synthetic.get("synthetic_structured"):
+        from grendel_tpu.testing import StructuredSyntheticScene
+
+        w_s, h_s = (int(x) for x in synthetic["synthetic_size"].split("x"))
+        scene = StructuredSyntheticScene(
+            width=w_s, height=h_s,
+            n_cams=synthetic.get("synthetic_cams", 72),
+            llffhold=synthetic.get("llffhold", 8),
+            n_init_points=synthetic.get("synthetic_points", 300),
+            seed=synthetic.get("seed", 0))
+    elif synthetic is not None:
         from grendel_tpu.testing import SyntheticScene
 
         w_s, h_s = (int(x) for x in synthetic["synthetic_size"].split("x"))

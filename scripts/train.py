@@ -159,6 +159,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="WxH of the synthetic scene")
     p.add_argument("--synthetic_gaussians", type=int, default=400)
     p.add_argument("--synthetic_points", type=int, default=300)
+    p.add_argument("--synthetic_structured", action="store_true",
+                   help="train on the raytraced structured protocol scene "
+                        "(hemisphere rig, llffhold held-out split — the "
+                        "hermetic stand-in for Mip360 quality evidence)")
+    p.add_argument("--synthetic_cams", type=int, default=72,
+                   help="total cameras on the structured hemisphere rig")
     return p
 
 
@@ -264,11 +270,13 @@ def make_decode_mask(cfg, devices):
 
 def main():
     a = build_parser().parse_args()
-    if not a.synthetic and not a.source_path:
-        raise SystemExit("need --source_path (or --synthetic)")
+    if not (a.synthetic or a.synthetic_structured) and not a.source_path:
+        raise SystemExit("need --source_path (or --synthetic[_structured])")
     if not a.model_path:
         a.model_path = os.path.join(
-            "output", "synthetic" if a.synthetic else
+            "output",
+            "synthetic_structured" if a.synthetic_structured else
+            "synthetic" if a.synthetic else
             os.path.basename(os.path.normpath(a.source_path)))
 
     import jax
@@ -297,7 +305,20 @@ def main():
         devices = devices[: a.n_devices]
     ws = len(devices)
 
-    if a.synthetic:
+    if a.synthetic_structured:
+        from grendel_tpu.testing import StructuredSyntheticScene
+
+        w, h = (int(x) for x in a.synthetic_size.split("x"))
+        t_gen = time.time()
+        scene = StructuredSyntheticScene(
+            width=w, height=h, n_cams=a.synthetic_cams,
+            llffhold=a.llffhold, n_init_points=a.synthetic_points,
+            seed=a.seed)
+        print(f"[structured] raytraced {a.synthetic_cams} GT views at "
+              f"{w}x{h} in {time.time() - t_gen:.1f}s "
+              f"({len(scene.train_cameras)} train / "
+              f"{len(scene.test_cameras)} held-out)", flush=True)
+    elif a.synthetic:
         from grendel_tpu.testing import SyntheticScene
 
         w, h = (int(x) for x in a.synthetic_size.split("x"))
