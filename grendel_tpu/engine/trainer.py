@@ -875,6 +875,7 @@ class Trainer:
         self._trainer_cache.clear()
         self._eval_trainer_cache.clear()
         self._retune_gen += 1
+        self._window_rolls = 0
 
     def _check_capacity_telemetry(self, metrics, pcfg: ParallelConfig,
                                   gen: Optional[int] = None,
@@ -925,6 +926,7 @@ class Trainer:
             self._peak_buckets = [self._peak_buckets[1], 0.0]
             self._a2a_buckets = [self._a2a_buckets[1], 0.0]
             self._peak_window_start = self._telemetry_it
+            self._window_rolls = getattr(self, "_window_rolls", 0) + 1
         self._peak_buckets[1] = max(self._peak_buckets[1],
                                     float(num_isects))
         self._isect_peak = max(self._peak_buckets)
@@ -969,9 +971,16 @@ class Trainer:
             # ~25ns/entry — smaller gaps don't pay for themselves between
             # reset cycles
             # sustained shrink opportunity: per-index hot-path ops scale
-            # with capacity, so one recompile pays for itself quickly
+            # with capacity, so one recompile pays for itself quickly.
+            # Gate on >= 1 full window roll since the last retune: before
+            # that the peak has not seen every camera, and a shrink sized
+            # off a partial epoch immediately re-grows when the heavier
+            # cameras arrive (observed at startup of the structured-30k
+            # drive: shrink at step ~20 of a 63-camera epoch, re-grow 2
+            # steps later — two recompiles for nothing)
             self._isect_shrink_checks += 1
-            if self._isect_shrink_checks >= 20:
+            if (self._isect_shrink_checks >= 20
+                    and getattr(self, "_window_rolls", 0) >= 1):
                 self._isect_cap_current = want
                 self._retune()
                 self._isect_shrink_checks = 0
@@ -1007,7 +1016,8 @@ class Trainer:
             if want < self._a2a_factor / 2.0:
                 self._a2a_shrink_checks = getattr(
                     self, "_a2a_shrink_checks", 0) + 1
-                if self._a2a_shrink_checks >= 20:
+                if (self._a2a_shrink_checks >= 20
+                        and getattr(self, "_window_rolls", 0) >= 1):
                     self._a2a_factor = want
                     self._a2a_shrink_checks = 0
                     self._retune()

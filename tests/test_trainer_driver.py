@@ -215,11 +215,15 @@ def test_capacity_telemetry_generation_guard(tiny_scene, tmp_path,
         return {"num_isects": np.array([n]),
                 "a2a_overflow": np.array([0])}
 
-    # 20 sustained low-count checks trigger ONE shrink recompile
+    # sustained low-count checks + >= one full window roll (the peak must
+    # have seen a whole epoch before a shrink is trusted) trigger ONE
+    # shrink recompile
     gen0 = trainer._retune_gen
-    for _ in range(20):
+    window = max(trainer.dataset.epoch_len, 50)
+    for i in range(25):
         trainer._check_capacity_telemetry(metrics(80_000), pcfg,
-                                          trainer._retune_gen)
+                                          trainer._retune_gen,
+                                          it=i * (window // 10))
     assert trainer._retune_gen == gen0 + 1
     small_cap = trainer._isect_cap()
     assert small_cap < cap
