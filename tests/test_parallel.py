@@ -187,6 +187,15 @@ def test_distributed_train_step_losses_and_descent(mesh8, small_scene):
             np.testing.assert_allclose(float(metrics["l1"]), expected_l1,
                                        rtol=1e-4)
             assert int(np.asarray(metrics["a2a_overflow"]).sum()) == 0
+            # demand telemetry: some device received entries, none claims
+            # more than its bucket holds (overflow was 0)
+            demand = np.asarray(metrics["a2a_demand"])
+            assert demand.max() > 0
+            assert demand.max() <= cfg.send_cap
+            # the packed telemetry carries all three segments
+            tel = np.asarray(metrics["telemetry"])
+            assert tel.shape == (24,)   # 3 segments x 8 devices
+            assert tel[16:].max() == demand.max()
     assert losses[-1] < losses[0], losses
     # iteration advanced
     assert int(jax.device_get(state.iteration)) == 8 * bsz
