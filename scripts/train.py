@@ -92,6 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="snap division points within this many tile rows "
                         "of an image boundary to the boundary")
     # PipelineParams
+    p.add_argument("--tile", type=str, default=None,
+                   help="WxH tile geometry (default 32x16, measured round-4"
+                        " optimum; the reference hardwires 16x16). Pixel"
+                        " count must be a multiple of 128")
     p.add_argument("--backend", type=str, default="auto",
                    choices=["auto", "pallas", "jax", "default", "gsplat"],
                    help="rasterizer backend: pallas (TPU kernels) | jax "
@@ -203,6 +207,10 @@ def args_to_config(a):
     cfg.log_memory_summary = a.log_memory_summary
     cfg.nsys_profile = a.nsys_profile
     cfg.pipeline.debug = a.debug or a.zhx_debug
+    if a.tile:
+        tw, th = (int(x) for x in a.tile.split("x"))
+        assert (tw * th) % 128 == 0, "tile pixel count must be 128-multiple"
+        cfg.pipeline.tile_w, cfg.pipeline.tile_h = tw, th
     # ref backend names: "default" (their CUDA fork) -> auto, "gsplat"
     # (their second backend) -> the pure-XLA backend
     cfg.pipeline.backend = {"default": "auto", "gsplat": "jax"}.get(
