@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--bsz", type=int, default=1)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--sh_degree", type=int, default=3)
+    ap.add_argument("--tile", type=str, default="32x16",
+                    help="WxH tile geometry (round-4 measured default)")
     ap.add_argument("--trace", type=str, default=None,
                     help="jax.profiler trace output dir")
     ap.add_argument("--platform", type=str, default=None)
@@ -122,14 +124,19 @@ def main():
         jnp.concatenate([p.sh_dc, p.sh_rest], axis=1), al,
         ca.viewmat, ca.full_proj, ca.campos, ca.tanfov,
         h, w, sh_degree))(params, alive, ca0)
+    tile_w, tile_h = (int(x) for x in a.tile.split("x"))
     n_isect = int(jax.jit(lambda s: isect_tiles(
-        s.means2d, s.radii, s.depths, 16, 16, -(-w // 16), -(-h // 16),
-        1 << 22, opacities=s.opacities).num_isects)(sp0))
+        s.means2d, s.radii, s.depths, tile_w, tile_h,
+        -(-w // tile_w), -(-h // tile_h),
+        1 << 23, opacities=s.opacities).num_isects)(sp0))
     nt = max(int(1.15 * n_isect), 1 << 14)
     k = max(int(np.floor(np.log2(nt))) - 3, 7)
     isect_cap = -(-nt // (1 << k)) << k
-    cfg = RenderConfig(img_h=h, img_w=w, isect_capacity=isect_cap,
-                       max_per_tile=1024, chunk=64, backend=backend)
+    isect_cap = -(-isect_cap // 128) * 128
+    cfg = RenderConfig(img_h=h, img_w=w, tile_w=tile_w, tile_h=tile_h,
+                       isect_capacity=isect_cap,
+                       max_per_tile=1024 * (tile_w * tile_h) // 256,
+                       chunk=64, backend=backend)
     rng = np.random.default_rng(seed)
     gt_u8 = jnp.asarray(rng.integers(0, 255, (bsz, 3, h, w), dtype=np.uint8))
     gt = gt_u8.astype(jnp.float32) / 255.0
@@ -257,7 +264,8 @@ def main():
     known = (times["project_fwd"] + times["isect"] + times["raster_fwd_bwd"]
              + times["loss_fwd_bwd"] + times["adam"])
     print(f"\n== per-stage times (ms), backend={backend}, "
-          f"{n_live} live / cap {capacity}, {w}x{h}, bsz={bsz} ==")
+          f"{n_live} live / cap {capacity}, {w}x{h}, bsz={bsz}, "
+          f"tile {tile_w}x{tile_h} ==")
     for k, v in sorted(times.items(), key=lambda kv: -kv[1]):
         print(f"  {k:24s} {v:9.2f}")
     print(f"  {'stage_sum(indep)':24s} {known:9.2f}")
