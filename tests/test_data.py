@@ -365,3 +365,8 @@ def test_train_cli_accepts_reference_flag_surface(tmp_path):
     # gsplat backend name maps to the pure-XLA backend
     a2 = build_parser().parse_args(["-s", "x", "--backend", "gsplat"])
     assert args_to_config(a2).pipeline.backend == "jax"
+    # tile geometry flag (TPU tunable; default is the measured 32x16)
+    assert cfg.pipeline.tile_w == 32 and cfg.pipeline.tile_h == 16
+    a3 = build_parser().parse_args(["-s", "x", "--tile", "16x16"])
+    cfg3 = args_to_config(a3)
+    assert cfg3.pipeline.tile_w == 16 and cfg3.pipeline.tile_h == 16
