@@ -48,7 +48,12 @@ class PipelineConfig:
     tile_h: int = 16
     # (tpu) static capacities for the isect entry list / per-tile walk.
     isect_capacity_factor: float = 8.0   # initial guess: capacity = factor * N until telemetry sizes it
-    max_per_tile: int = 2048             # per-tile blend depth cutoff
+    # per-tile blend depth cutoff. -1 = auto: scale with tile area so the
+    # per-PIXEL budget stays constant at 4 entries/px (1024 per 256-px tile,
+    # the reference 16x16 norm) no matter what --tile selects — the round-4
+    # bsz x tile sweep was measured at this constant budget, and a fixed
+    # cutoff would silently halve the budget at the 512-px default tile.
+    max_per_tile: int = -1
     chunk: int = 64                      # gaussians blended per scan step
     # rasterizer backend: "auto" = pallas on TPU, jax elsewhere (the two
     # backends mirror the reference's default/gsplat backend pair)
@@ -180,6 +185,9 @@ class TrainConfig:
     def finalize(self) -> "TrainConfig":
         """Post-parse constraint propagation (ref: init_args,
         arguments/__init__.py:275-315)."""
+        if self.pipeline.max_per_tile <= 0:
+            self.pipeline.max_per_tile = (
+                1024 * self.pipeline.tile_w * self.pipeline.tile_h) // 256
         if self.opt.opacity_reset_until_iter == -1:
             self.opt.opacity_reset_until_iter = (
                 self.opt.densify_until_iter + self.dist.bsz

@@ -344,7 +344,9 @@ class Trainer:
             tile_w=p.tile_w, tile_h=p.tile_h,
             n_row_slots=n_row_slots,
             isect_capacity=isect_cap,
-            max_per_tile=p.max_per_tile, chunk=p.chunk,
+            max_per_tile=(p.max_per_tile if p.max_per_tile > 0
+                          else 1024 * p.tile_w * p.tile_h // 256),
+            chunk=p.chunk,
             backend=backend,
             gaussians_distribution=gauss_dist,
             send_cap_factor=getattr(self, "_a2a_factor", 1.0),
