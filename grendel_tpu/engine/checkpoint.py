@@ -224,6 +224,33 @@ def load_checkpoint_sharded(directory: str, world_size: int,
     )
 
 
+def save_tuner_state(directory: str, tuner: dict) -> str:
+    """Sidecar ``tuner.json`` next to the shard files: the host-side
+    capacity-tuner state (entry-buffer size, windowed demand peaks, a2a
+    send factor, densify growth ratio). The reference has no analogue —
+    its buffers are dynamic — but on TPU these ARE learned buffer sizes,
+    and a resume that forgets them re-learns each through a multi-minute
+    recompile (ref checkpoint contract: train_internal.py:287-313)."""
+    import json
+
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, "tuner.json")
+    with open(path, "w") as f:
+        json.dump(tuner, f, indent=1)
+    return path
+
+
+def load_tuner_state(directory: str) -> Optional[dict]:
+    """Read ``tuner.json`` if present (older checkpoints lack it)."""
+    import json
+
+    path = os.path.join(directory, "tuner.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def find_latest_checkpoint(checkpoints_root: str) -> Optional[str]:
     """Latest iteration subdirectory under ``<root>/checkpoints`` (ref:
     --auto_start_checkpoint, arguments/__init__.py:236-272)."""

@@ -209,6 +209,9 @@ class Trainer:
         self.warmup_iters = (
             len(scene.train_cameras) if warm < 0 else warm)
 
+        if cfg.start_checkpoint:
+            self._restore_tuner_state(cfg.start_checkpoint)
+
         # device-resident camera bank: per-step camera matrices are tiny,
         # but uploading 4 host arrays per step costs 4 tunnel RPCs on this
         # transport (~25ms each single-call). Upload every train camera
@@ -1177,7 +1180,70 @@ class Trainer:
                      host.params, np.asarray(host.alive))
             self._log(f"iter {it}: saved PLY to {out}")
 
+    def _tuner_state(self) -> dict:
+        """Host-side capacity-tuner state persisted alongside checkpoints
+        (VERDICT r4 #7): without it a resume at scale re-learns the entry
+        buffer / a2a bucket sizes through extra recompiles, each costing
+        minutes at benchmark scale."""
+        return {
+            "n_devices": self.n_devices,
+            "isect_cap_current": self._isect_cap_current,
+            "isect_peak": float(self._isect_peak),
+            "a2a_factor": float(getattr(self, "_a2a_factor", 1.0)),
+            "a2a_peak": float(getattr(self, "_a2a_peak", 0.0)),
+            "densify_growth_ratio": float(
+                getattr(self, "_densify_growth_ratio", 2.0)),
+            "max_shard_alive": int(self._max_shard_alive),
+            "densify_count": int(self.densify_count),
+        }
+
+    def _restore_tuner_state(self, ckpt_dir: str):
+        """Re-seed the capacity tuner from a checkpoint's tuner.json.
+
+        Per-device demand quantities (entry-buffer peak, per-shard alive)
+        scale ~1/D, so an elastic resume at a different world size rescales
+        them by saved_D/D — an estimate the windowed telemetry then refines
+        without a cold-start recompile ladder. Old checkpoints without the
+        sidecar resume with default tuner state (backward compatible)."""
+        from .checkpoint import load_tuner_state
+
+        saved = load_tuner_state(ckpt_dir)
+        if not saved:
+            return
+        ratio = saved.get("n_devices", self.n_devices) / self.n_devices
+        it0 = int(jax.device_get(self.state.iteration))
+        if saved.get("isect_peak", 0) > 0:
+            self._isect_peak = saved["isect_peak"] * ratio
+            # both buckets pre-filled: the peak is trusted until a full
+            # post-resume window (one epoch) rolls it out naturally
+            self._peak_buckets = [self._isect_peak, self._isect_peak]
+            self._peak_window_start = it0
+            self._telemetry_it = it0
+        if saved.get("isect_cap_current"):
+            self._isect_cap_current = self._round_cap(
+                saved["isect_cap_current"] * ratio)
+        self._a2a_factor = float(saved.get("a2a_factor", 1.0))
+        a2a_peak = float(saved.get("a2a_peak", 0.0)) * ratio
+        if a2a_peak > 0:
+            self._a2a_peak = a2a_peak
+            self._a2a_buckets = [a2a_peak, a2a_peak]
+        self._densify_growth_ratio = float(
+            saved.get("densify_growth_ratio", 2.0))
+        self._max_shard_alive = max(
+            self._max_shard_alive,
+            int(saved.get("max_shard_alive", 0) * ratio))
+        self.densify_count = int(saved.get("densify_count", 0))
+        self._log(
+            f"tuner state restored from {ckpt_dir}: "
+            f"isect_cap={self._isect_cap_current} "
+            f"a2a_factor={self._a2a_factor:.2f} "
+            f"densify_count={self.densify_count}"
+            + (f" (rescaled x{ratio:.2f} for elastic resume)"
+               if ratio != 1.0 else ""))
+
     def save_checkpoint(self, it: int):
+        from .checkpoint import save_tuner_state
+
         out = os.path.join(self.cfg.model.model_path, "checkpoints", str(it))
         if self._distributed_io():
             # per-shard npz checkpoints keyed rk/ws (elastic on load, ref
@@ -1190,9 +1256,12 @@ class Trainer:
                 shard = jax.tree.map(
                     lambda l: self._leaf_shard(l, d), self.state)
                 save_checkpoint(out, shard, rank=d, world_size=d_count)
+            if 0 in mine:     # exactly one process writes the sidecar
+                save_tuner_state(out, self._tuner_state())
             self._log(f"iter {it}: saved {len(mine)} checkpoint shards "
                       f"to {out}")
         else:
             host = self._gather_state()
             save_checkpoint(out, host, rank=0, world_size=1)
+            save_tuner_state(out, self._tuner_state())
             self._log(f"iter {it}: saved checkpoint to {out}")
