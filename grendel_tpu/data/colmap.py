@@ -58,6 +58,27 @@ def qvec_to_rotmat(qvec: np.ndarray) -> np.ndarray:
     ])
 
 
+def rotmat_to_qvec(R: np.ndarray) -> np.ndarray:
+    """3x3 rotation matrix -> quaternion [w,x,y,z]; inverse of
+    qvec_to_rotmat (Shepperd's method, numerically stable for all traces)."""
+    m = np.asarray(R, np.float64)
+    t = np.trace(m)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        q = np.array([0.25 * s, (m[2, 1] - m[1, 2]) / s,
+                      (m[0, 2] - m[2, 0]) / s, (m[1, 0] - m[0, 1]) / s])
+    else:
+        i = int(np.argmax(np.diag(m)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(m[i, i] - m[j, j] - m[k, k] + 1.0, 1e-12)) * 2
+        q = np.empty(4)
+        q[0] = (m[k, j] - m[j, k]) / s
+        q[1 + i] = 0.25 * s
+        q[1 + j] = (m[j, i] + m[i, j]) / s
+        q[1 + k] = (m[k, i] + m[i, k]) / s
+    return q if q[0] >= 0 else -q
+
+
 def _read(f, n: int, fmt: str):
     return struct.unpack("<" + fmt, f.read(n))
 
