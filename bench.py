@@ -33,7 +33,18 @@ def main():
     ap.add_argument("--tile", type=str, default="32x16",
                     help="WxH tile geometry (the reference hardwires 16x16;"
                          " here it is a measured tunable)")
+    # "historical" re-measures the round-2/3 configuration (bsz=1, 16x16
+    # tiles) whose unsuffixed metric key the longitudinal series tracks;
+    # the default stays the measured optimum. Run both for a full record:
+    #   python bench.py && python bench.py --config historical
+    ap.add_argument("--config", choices=["optimum", "historical"],
+                    default="optimum")
+    ap.add_argument("--no_compaction", action="store_true",
+                    help="disable the post-cull blend-budget compaction "
+                         "(A/B lever)")
     a = ap.parse_args()
+    if a.config == "historical":
+        a.bsz, a.tile = 1, "16x16"
     tile_w, tile_h = (int(x) for x in a.tile.split("x"))
     import jax
     import jax.numpy as jnp
@@ -113,19 +124,31 @@ def main():
             h, w, sh_degree)),
         tile_w, tile_h, -(-w // tile_w), -(-h // tile_h), 1 << 23,
         opacities=jax.nn.sigmoid(p.opacities_raw)))
-    n_isect = int(probe(params, alive, ca0).num_isects)
-    n = max(int(1.15 * n_isect), 1 << 14)
-    k = max(int(np.floor(np.log2(n))) - 3, 7)
-    isect_cap = -(-n // (1 << k)) << k
-    isect_cap = -(-isect_cap // 128) * 128
-    print(f"# tile {tile_w}x{tile_h}: {n_isect} isects/cam, "
-          f"capacity {isect_cap}/cam", file=sys.stderr)
+    probe_isect = probe(params, alive, ca0)
+    n_isect = int(probe_isect.num_isects)
+    n_kept = int(probe_isect.num_kept)
+
+    def cap_of(demand):
+        n = max(int(1.15 * demand), 1 << 14)
+        k = max(int(np.floor(np.log2(n))) - 3, 7)
+        cap = -(-n // (1 << k)) << k
+        return -(-cap // 128) * 128
+
+    isect_cap = cap_of(n_isect)
+    # post-cull blend budget, sized like the trainer's kept-telemetry tuner:
+    # the corner cull's drops otherwise ride the per-index payload gather +
+    # gradient segment-sum at full expansion capacity
+    blend_cap = isect_cap if a.no_compaction else min(cap_of(n_kept),
+                                                      isect_cap)
+    print(f"# tile {tile_w}x{tile_h}: {n_isect} isects/cam "
+          f"({n_kept} post-cull), capacity {isect_cap}/cam, "
+          f"blend {blend_cap}/cam", file=sys.stderr)
 
     # per-tile depth cutoff scales with tile area so every geometry gets
     # the same per-PIXEL blend budget (1024 entries per 256-px tile)
     mpt = 1024 * (tile_w * tile_h) // 256
     cfg = RenderConfig(img_h=h, img_w=w, tile_w=tile_w, tile_h=tile_h,
-                       isect_capacity=isect_cap,
+                       isect_capacity=isect_cap, blend_capacity=blend_cap,
                        max_per_tile=mpt, chunk=64, backend=backend)
     rng = np.random.default_rng(seed)
     gt_u8 = jnp.asarray(

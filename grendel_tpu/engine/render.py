@@ -36,9 +36,21 @@ class RenderConfig(NamedTuple):
     tile_w: int = 16
     tile_h: int = 16
     isect_capacity: int = 1 << 18
+    # post-cull blend budget PER CAMERA (0 = isect_capacity: no
+    # compaction). See parallel/sharded.py ParallelConfig.blend_capacity —
+    # the corner cull's sentinel tail otherwise rides through the
+    # per-index payload gather + gradient segment-sum at full capacity.
+    blend_capacity: int = 0
     max_per_tile: int = 2048
     chunk: int = 64
     backend: str = "jax"   # "jax" | "pallas" | "pallas_interpret" (tests)
+
+    @property
+    def blend_cap(self) -> int:
+        bb = self.blend_capacity
+        if bb <= 0 or bb >= self.isect_capacity or bb % 128:
+            return self.isect_capacity
+        return bb
 
     @property
     def use_pallas(self) -> bool:
@@ -97,9 +109,14 @@ def _rasterize_tiles_pallas(splats, isect, cfg: RenderConfig, bg, tile_mask):
     slot_px0 = (t_ids % tiles_x) * cfg.tile_w
     slot_py0 = (t_ids // tiles_x) * cfg.tile_h
 
+    ids, toff = isect.gauss_ids, isect.tile_offsets
+    if cfg.blend_cap < cfg.isect_capacity:
+        from ..ops.isect import compact_entries_flat
+
+        ids, toff = compact_entries_flat(ids, toff, cfg.blend_cap)
     colors, t_final = rasterize_slots_pl(
         splats.means2d, splats.conics, splats.colors, splats.opacities,
-        isect.gauss_ids, isect.tile_offsets, slot_px0, slot_py0,
+        ids, toff, slot_px0, slot_py0,
         cfg.tile_w, cfg.tile_h, cfg.max_per_tile,
         interpret=cfg.pallas_interpret,
     )
@@ -193,12 +210,19 @@ def _render_batch_rowslots(act, alive, cams, sh_degree, cfg: RenderConfig,
     s = jnp.arange(r * tiles_x, dtype=jnp.int32)
     px0 = (s % tiles_x) * cfg.tile_w
     py0 = ((s // tiles_x) % tiles_y) * cfg.tile_h
+    ids, tlo, thi = isect.gauss_ids, isect.tile_lo, isect.tile_hi
+    if cfg.blend_cap < cfg.isect_capacity:
+        from ..ops.isect import compact_entries_blocked
+
+        ids, tlo, thi = compact_entries_blocked(
+            ids, tlo, thi, b, tiles_x * tiles_y,
+            cfg.isect_capacity, cfg.blend_cap)
     colors, t_final = rasterize_slots_pl(
         flat.means2d, flat.conics, flat.colors, flat.opacities,
-        isect.gauss_ids, None, px0, py0,
+        ids, None, px0, py0,
         cfg.tile_w, cfg.tile_h, cfg.max_per_tile,
         interpret=cfg.pallas_interpret,
-        tile_lo=isect.tile_lo, tile_hi=isect.tile_hi, seg_blocks=b,
+        tile_lo=tlo, tile_hi=thi, seg_blocks=b,
     )
     colors = colors + t_final[..., None] * bg[None, None, :]
 

@@ -111,6 +111,11 @@ class Trainer:
         # shrink only when the buffer is this many times oversized (see
         # _check_capacity_telemetry; tests lower it)
         self.isect_shrink_gap = 2.0
+        # blend-budget (post-cull compaction) shrink gap — tighter than the
+        # isect gap because kept/expanded is typically 0.7-0.9 (see
+        # _check_blend_telemetry; tests lower it)
+        self.blend_shrink_gap = 1.25
+        self._blend_cap_current: int | None = None
         # windowed peak of observed true intersection counts (two
         # epoch-length max buckets, see _check_capacity_telemetry): the
         # capacity picker sizes the entry buffer from THIS, not from a
@@ -324,6 +329,15 @@ class Trainer:
             self._isect_cap_current = self._isect_cap_target()
         return self._isect_cap_current
 
+    def _blend_cap(self) -> int:
+        """Post-cull blend budget (compaction): 1.15x headroom over the
+        windowed peak of SURVIVING entries, never above the expansion
+        capacity. Until kept telemetry exists there is no compaction —
+        the shrink gating below sizes it after a full epoch window."""
+        cap = self._isect_cap()
+        cur = getattr(self, "_blend_cap_current", None)
+        return cap if cur is None else min(cur, cap)
+
     def _parallel_cfg(self, bsz: int) -> ParallelConfig:
         p = self.cfg.pipeline
         n_loc = self.n_local
@@ -347,6 +361,7 @@ class Trainer:
             tile_w=p.tile_w, tile_h=p.tile_h,
             n_row_slots=n_row_slots,
             isect_capacity=isect_cap,
+            blend_capacity=self._blend_cap(),
             max_per_tile=(p.max_per_tile if p.max_per_tile > 0
                           else 1024 * p.tile_w * p.tile_h // 256),
             chunk=p.chunk,
@@ -358,7 +373,7 @@ class Trainer:
         ).resolved(n_loc)
 
     def _trainer(self, sh_degree: int) -> ShardedTrainer:
-        key = (sh_degree, self.n_local, self._isect_cap())
+        key = (sh_degree, self.n_local, self._isect_cap(), self._blend_cap())
         if key not in self._trainer_cache:
             self._trainer_cache[key] = ShardedTrainer(
                 self.mesh, self._parallel_cfg(self.cfg.dist.bsz),
@@ -379,7 +394,8 @@ class Trainer:
         on these, so only the render graph compiles."""
         if bsz == self.cfg.dist.bsz:
             return self._trainer(sh_degree)
-        key = (sh_degree, self.n_local, self._isect_cap(), bsz)
+        key = (sh_degree, self.n_local, self._isect_cap(), self._blend_cap(),
+               bsz)
         if key not in self._eval_trainer_cache:
             self._eval_trainer_cache[key] = ShardedTrainer(
                 self.mesh, self._parallel_cfg(bsz),
@@ -896,17 +912,20 @@ class Trainer:
         no longer exists, and acting on it can thrash an extra recompile
         (a shrink immediately followed by the transient's return)."""
         if "telemetry" in metrics:
-            # one packed fetch (one tunnel RPC) instead of three
+            # one packed fetch (one tunnel RPC) instead of four
             tel = np.asarray(metrics["telemetry"])
-            d = tel.shape[0] // 3
+            d = tel.shape[0] // 4
             num_isects = int(tel[:d].max())
             overflow = int(tel[d:2 * d].sum())
-            a2a_demand = int(tel[2 * d:].max())
+            a2a_demand = int(tel[2 * d:3 * d].max())
+            num_kept = int(tel[3 * d:].max())
         else:
             num_isects = int(np.asarray(metrics["num_isects"]).max())
             overflow = int(np.asarray(metrics["a2a_overflow"]).sum())
             a2a_demand = int(np.asarray(
                 metrics.get("a2a_demand", 0)).max())
+            num_kept = int(np.asarray(
+                metrics.get("num_kept", num_isects)).max())
         # WINDOWED peak (two epoch-length buckets): follows growth
         # instantly (num_isects is the TRUE count even when over capacity,
         # so one recompile jumps straight to the right size — no doubling
@@ -930,6 +949,8 @@ class Trainer:
         if self._telemetry_it - self._peak_window_start >= window:
             self._peak_buckets = [self._peak_buckets[1], 0.0]
             self._a2a_buckets = [self._a2a_buckets[1], 0.0]
+            if hasattr(self, "_kept_buckets"):
+                self._kept_buckets = [self._kept_buckets[1], 0.0]
             self._peak_window_start = self._telemetry_it
             self._window_rolls = getattr(self, "_window_rolls", 0) + 1
         self._peak_buckets[1] = max(self._peak_buckets[1],
@@ -937,6 +958,10 @@ class Trainer:
         self._isect_peak = max(self._peak_buckets)
         self._a2a_buckets[1] = max(self._a2a_buckets[1], float(a2a_demand))
         self._a2a_peak = max(self._a2a_buckets)
+        if not hasattr(self, "_kept_buckets"):
+            self._kept_buckets = [0.0, 0.0]
+        self._kept_buckets[1] = max(self._kept_buckets[1], float(num_kept))
+        self._kept_peak = max(self._kept_buckets)
         if gen is not None and gen != self._retune_gen:
             return
         want = self._isect_cap_target()
@@ -955,6 +980,7 @@ class Trainer:
             # grow-recompile count logarithmically
             want = max(want, self._round_cap(1.35 * pcfg.isect_capacity))
             self._isect_cap_current = want
+            self._refresh_blend_cap()   # piggyback on this recompile
             self._retune()
             self._isect_shrink_checks = 0
             self.capacity_events.append(("isect_grow", want))
@@ -987,6 +1013,7 @@ class Trainer:
             if (self._isect_shrink_checks >= 20
                     and getattr(self, "_window_rolls", 0) >= 1):
                 self._isect_cap_current = want
+                self._refresh_blend_cap()   # piggyback on this recompile
                 self._retune()
                 self._isect_shrink_checks = 0
                 self.capacity_events.append(("isect_shrink", want))
@@ -996,6 +1023,7 @@ class Trainer:
                     f"entry buffer -> {want} (recompile)")
         else:
             self._isect_shrink_checks = 0
+        self._check_blend_telemetry(num_kept, pcfg)
         if overflow > 0:
             # grow straight to the observed true demand (n_demand telemetry
             # is the max per-destination count BEFORE capping, so one
@@ -1033,6 +1061,60 @@ class Trainer:
                         f"send_cap_factor -> {want:.2f} (recompile)")
             else:
                 self._a2a_shrink_checks = 0
+
+    def _refresh_blend_cap(self):
+        """Re-derive the post-cull blend budget from the windowed kept peak
+        — called at isect-capacity retunes so the compaction rides the
+        SAME recompile instead of scheduling its own."""
+        if getattr(self, "_kept_peak", 0.0) > 0:
+            self._blend_cap_current = min(
+                self._round_cap(1.15 * self._kept_peak), self._isect_cap())
+
+    def _check_blend_telemetry(self, num_kept: int, pcfg: ParallelConfig):
+        """Blend-budget triggers that fire on their own (VERDICT r4 #2:
+        corner-culled + clipped entries were still paying the ~10-13
+        ns/index gather + segment-sum tax at full expansion capacity —
+        compaction hands the rasterizer only the surviving prefix).
+
+        Grow promptly (survivors above the budget DROP real entries);
+        shrink at a tighter 1.25x gap than the isect buffer — the expected
+        kept/expanded ratio is only ~0.7-0.9, so the isect 2x gap would
+        never activate compaction. Hysteresis: grow at kept >
+        0.92*budget, shrink to 1.15x peak only when >= 1.25x oversized."""
+        blend_cur = self._blend_cap()
+        want = blend_cur
+        if getattr(self, "_kept_peak", 0.0) > 0:
+            want = min(self._round_cap(1.15 * self._kept_peak),
+                       self._isect_cap())
+        if (num_kept > 0.92 * pcfg.blend_capacity
+                and pcfg.blend_capacity < pcfg.isect_capacity
+                and want > blend_cur):
+            want = min(max(want, self._round_cap(
+                1.35 * pcfg.blend_capacity)), self._isect_cap())
+            self._blend_cap_current = want
+            self._retune()
+            self._blend_shrink_checks = 0
+            self.capacity_events.append(("blend_grow", want))
+            self._log(
+                f"post-cull entries near blend budget "
+                f"({num_kept}/{pcfg.blend_capacity}): growing -> {want} "
+                f"(recompile)")
+        elif (want < pcfg.blend_capacity / self.blend_shrink_gap
+                and want < blend_cur):
+            self._blend_shrink_checks = getattr(
+                self, "_blend_shrink_checks", 0) + 1
+            if (self._blend_shrink_checks >= 20
+                    and getattr(self, "_window_rolls", 0) >= 1):
+                self._blend_cap_current = want
+                self._retune()
+                self._blend_shrink_checks = 0
+                self.capacity_events.append(("blend_shrink", want))
+                self._log(
+                    f"post-cull blend budget oversized "
+                    f"({num_kept}/{pcfg.blend_capacity}): compacting "
+                    f"-> {want} (recompile)")
+        else:
+            self._blend_shrink_checks = 0
 
     def _update_hbm_ceiling(self, st, pcfg: ParallelConfig):
         """Derive the isect-entry ceiling and HBM occupancy from XLA's
@@ -1188,6 +1270,8 @@ class Trainer:
         return {
             "n_devices": self.n_devices,
             "isect_cap_current": self._isect_cap_current,
+            "blend_cap_current": self._blend_cap_current,
+            "kept_peak": float(getattr(self, "_kept_peak", 0.0)),
             "isect_peak": float(self._isect_peak),
             "a2a_factor": float(getattr(self, "_a2a_factor", 1.0)),
             "a2a_peak": float(getattr(self, "_a2a_peak", 0.0)),
@@ -1222,6 +1306,12 @@ class Trainer:
         if saved.get("isect_cap_current"):
             self._isect_cap_current = self._round_cap(
                 saved["isect_cap_current"] * ratio)
+        if saved.get("kept_peak", 0) > 0:
+            self._kept_peak = saved["kept_peak"] * ratio
+            self._kept_buckets = [self._kept_peak, self._kept_peak]
+        if saved.get("blend_cap_current"):
+            self._blend_cap_current = self._round_cap(
+                saved["blend_cap_current"] * ratio)
         self._a2a_factor = float(saved.get("a2a_factor", 1.0))
         a2a_peak = float(saved.get("a2a_peak", 0.0)) * ratio
         if a2a_peak > 0:

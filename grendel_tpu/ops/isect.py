@@ -31,6 +31,12 @@ class TileIntersections(NamedTuple):
     gauss_ids: Array     # (capacity,) int32 — original Gaussian index per entry
     tile_offsets: Array  # (num_tiles + 1,) int32 — entry span of tile t
     num_isects: Array    # () int32 — true total (may exceed capacity => overflow)
+    # () int32 — entries that SURVIVED the corner cull / clipping (the
+    # sentinel boundary of the sorted entry axis). Every per-index op
+    # downstream of the sort (payload gather, blend walk, gradient
+    # segment-sum) only needs this prefix; the blend-capacity compaction
+    # (rasterize call sites) slices to a static budget sized from it.
+    num_kept: Array = None
 
 
 class BlockedTileIntersections(NamedTuple):
@@ -47,6 +53,9 @@ class BlockedTileIntersections(NamedTuple):
     num_isects: Array    # () int32 — n_cams * max per-camera demand (so the
                          # existing capacity tuner's compare-vs-capacity
                          # logic sizes the binding per-camera constraint)
+    num_kept: Array = None   # () int32 — n_cams * max per-camera POST-cull
+                             # count (same binding-constraint convention);
+                             # sizes the blend-capacity compaction
 
 
 def _segment_broadcast(values: Array, seg_starts: Array, capacity: int) -> Array:
@@ -64,6 +73,27 @@ def _segment_broadcast(values: Array, seg_starts: Array, capacity: int) -> Array
     buf = jnp.zeros((capacity,), values.dtype).at[seg_starts].add(
         jnp.where(seg_starts < capacity, deltas, 0), mode="drop")
     return jnp.cumsum(buf)
+
+
+def compact_entries_blocked(ids: Array, tlo: Array, thi: Array,
+                            n_cams: int, numt: int, bpc: int, bbc: int):
+    """Post-cull compaction of a camera-blocked entry axis: keep each
+    block's first ``bbc`` entries (survivors are the sorted prefix; the
+    corner cull's drops carry the sentinel key and sort to the block tail)
+    and shift the tile spans accordingly. Spans past the budget clamp —
+    only reachable during a transient kept-overflow before the tuner's
+    blend grow fires, and fwd/bwd see the same clamped spans."""
+    ids = ids.reshape(n_cams, bpc)[:, :bbc].reshape(-1)
+    cam_slot = jnp.arange(tlo.shape[0], dtype=jnp.int32) // numt
+    tlo = cam_slot * bbc + jnp.clip(tlo - cam_slot * bpc, 0, bbc)
+    thi = cam_slot * bbc + jnp.clip(thi - cam_slot * bpc, 0, bbc)
+    return ids, tlo, thi
+
+
+def compact_entries_flat(ids: Array, tile_offsets: Array, bb: int):
+    """Post-cull compaction of a flat entry axis: survivors are the global
+    sorted prefix (sentinels sort last) — slice it and clamp the offsets."""
+    return ids[:bb], jnp.minimum(tile_offsets, bb)
 
 
 def gaussian_tile_rect(means2d: Array, radii: Array, tile_w: int, tile_h: int,
@@ -274,6 +304,7 @@ def isect_tile_rows(
         gauss_ids=gid_sorted,
         tile_offsets=tile_offsets,
         num_isects=total.astype(jnp.int32),
+        num_kept=tile_offsets[num_slots],
     )
 
 
@@ -396,12 +427,17 @@ def isect_tile_rows_blocked(
     key_s = s + s // numt                     # skip each camera's sentinel
     tile_lo = offs_ext[key_s]
     tile_hi = offs_ext[key_s + 1]
+    # camera c's surviving entries are the prefix [c*block, first sentinel)
+    # of its block — the sentinel boundary is the start of its sentinel key
+    kept_c = (offs_ext[(jnp.arange(n_cams) + 1) * (numt + 1) - 1]
+              - jnp.arange(n_cams) * block)
 
     return BlockedTileIntersections(
         gauss_ids=gid_sorted,
         tile_lo=tile_lo,
         tile_hi=tile_hi,
         num_isects=(n_cams * jnp.max(cam_tot)).astype(jnp.int32),
+        num_kept=(n_cams * jnp.max(kept_c)).astype(jnp.int32),
     )
 
 
@@ -489,4 +525,5 @@ def isect_tiles(
         gauss_ids=gid_sorted,
         tile_offsets=tile_offsets,
         num_isects=total.astype(jnp.int32),
+        num_kept=tile_offsets[num_tiles],
     )

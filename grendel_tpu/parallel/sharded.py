@@ -53,7 +53,11 @@ from ..models.densify import (
     reset_opacity,
 )
 from ..ops.projection import project_gaussians
-from ..ops.isect import isect_tile_rows
+from ..ops.isect import (
+    compact_entries_blocked,
+    compact_entries_flat,
+    isect_tile_rows,
+)
 from ..ops.rasterize_jax import rasterize_slots
 from ..ops.ssim import ssim_map
 
@@ -76,6 +80,15 @@ class ParallelConfig(NamedTuple):
     n_row_slots: int = 0        # per-device row buffer (0 = auto)
     send_cap: int = 0           # per-destination a2a bucket (0 = auto vs N_loc)
     isect_capacity: int = 1 << 18
+    # post-cull entry budget (0 = isect_capacity, i.e. no compaction).
+    # isect_capacity sizes the EXPANSION (pre-cull rect demand); the
+    # corner cull + clipping then sort their drops to the sentinel tail,
+    # and every per-index op downstream (payload gather, gradient
+    # segment-sum, ~10-13 ns/index each on this chip) runs over the entry
+    # axis — so the rasterizer is handed only the first blend_capacity
+    # entries. The tuner sizes this from the num_kept telemetry the same
+    # way isect_capacity is sized from num_isects.
+    blend_capacity: int = 0
     max_per_tile: int = 2048
     chunk: int = 64
     row_slack: float = 2.0      # n_row_slots = slack * ceil(rows / D)
@@ -106,6 +119,13 @@ class ParallelConfig(NamedTuple):
 
     def resolved(self, n_local: int) -> "ParallelConfig":
         out = self
+        if out.blend_capacity == 0 or out.blend_capacity > out.isect_capacity:
+            out = out._replace(blend_capacity=out.isect_capacity)
+        else:
+            # rasterizer CHUNK (and camera-block) alignment
+            align = 128 * max(1, out.bsz)
+            out = out._replace(blend_capacity=min(
+                out.isect_capacity, -(-out.blend_capacity // align) * align))
         if out.n_row_slots == 0:
             per = -(-out.total_rows // out.n_devices)
             out = out._replace(
@@ -283,14 +303,20 @@ def _render_owned_rows(
             capacity=cfg.isect_capacity,
             opacities=opacs,
         )
+        ids, tlo, thi = isect.gauss_ids, isect.tile_lo, isect.tile_hi
+        bb = cfg.blend_capacity
+        if bb < cfg.isect_capacity and bb % (cfg.bsz * 128) == 0:
+            ids, tlo, thi = compact_entries_blocked(
+                ids, tlo, thi, cfg.bsz, tiles_x * tiles_y,
+                cfg.isect_capacity // cfg.bsz, bb // cfg.bsz)
         colors, t_final = rasterize_slots_pl(
             means2d, conics, rgbs, opacs,
-            isect.gauss_ids, None, px0, py0,
+            ids, None, px0, py0,
             cfg.tile_w, cfg.tile_h, cfg.max_per_tile,
-            tile_lo=isect.tile_lo, tile_hi=isect.tile_hi,
+            tile_lo=tlo, tile_hi=thi,
             seg_blocks=cfg.bsz,
         )
-        n_per_slot = isect.tile_hi - isect.tile_lo
+        n_per_slot = thi - tlo
     else:
         isect = isect_tile_rows(
             means2d, radii, depths, cams, row_lo, row_hi,
@@ -298,21 +324,25 @@ def _render_owned_rows(
             r_slots, cfg.isect_capacity,
             opacities=opacs,
         )
+        ids, toff = isect.gauss_ids, isect.tile_offsets
+        bb = cfg.blend_capacity
+        if bb < cfg.isect_capacity and bb % 128 == 0:
+            ids, toff = compact_entries_flat(ids, toff, bb)
         if cfg.backend == "pallas":
             from ..ops.rasterize_pallas import rasterize_slots_pl
 
             colors, t_final = rasterize_slots_pl(
                 means2d, conics, rgbs, opacs,
-                isect.gauss_ids, isect.tile_offsets, px0, py0,
+                ids, toff, px0, py0,
                 cfg.tile_w, cfg.tile_h, cfg.max_per_tile,
             )
         else:
             colors, t_final = rasterize_slots(
                 means2d, conics, rgbs, opacs,
-                isect.gauss_ids, isect.tile_offsets, px0, py0,
+                ids, toff, px0, py0,
                 cfg.tile_w, cfg.tile_h, cfg.max_per_tile, cfg.chunk,
             )
-        n_per_slot = isect.tile_offsets[1:] - isect.tile_offsets[:-1]
+        n_per_slot = toff[1:] - toff[:-1]
     colors = colors + t_final[..., None] * bg[None, None, :]
 
     # (S, P, 3) -> (R, 3, tile_h, W)
@@ -330,7 +360,8 @@ def _render_owned_rows(
     cam_of_row = jnp.clip(row_ids // tiles_y, 0, cfg.bsz - 1)
 
     per_row_entries = n_per_slot.reshape(r_slots, tiles_x).sum(axis=1)
-    return rows, mask, cam_of_row, per_row_entries, isect.num_isects
+    return (rows, mask, cam_of_row, per_row_entries, isect.num_isects,
+            isect.num_kept)
 
 
 def _row_span_loss(
@@ -412,9 +443,10 @@ def _local_forward(
     row_lo = division_pos[d_idx]
     row_hi = division_pos[d_idx + 1]
 
-    rows, mask, cam_of_row, per_row_entries, num_isects = _render_owned_rows(
-        recv_payload, recv_meta, row_lo, row_hi, cfg, bg,
-    )
+    rows, mask, cam_of_row, per_row_entries, num_isects, num_kept = \
+        _render_owned_rows(
+            recv_payload, recv_meta, row_lo, row_hi, cfg, bg,
+        )
     gt = gt_rows.astype(jnp.float32) / 255.0
     partial, l1_part, ssim_part = _row_span_loss(
         rows, gt, mask, cam_of_row, cfg, lambda_dssim,
@@ -425,6 +457,7 @@ def _local_forward(
         "radii": splats.radii,
         "per_row_entries": per_row_entries,
         "num_isects": num_isects,
+        "num_kept": num_kept,
         "a2a_overflow": n_overflow,
         "a2a_demand": n_demand,
     }
@@ -517,9 +550,10 @@ def _local_forward_replicated(
     d_idx = jax.lax.axis_index(AXIS)
     row_lo = division_pos[d_idx]
     row_hi = division_pos[d_idx + 1]
-    rows, mask, cam_of_row, per_row_entries, num_isects = _render_owned_rows(
-        payload, jax.lax.stop_gradient(meta), row_lo, row_hi, cfg, bg,
-    )
+    rows, mask, cam_of_row, per_row_entries, num_isects, num_kept = \
+        _render_owned_rows(
+            payload, jax.lax.stop_gradient(meta), row_lo, row_hi, cfg, bg,
+        )
     gt = gt_rows.astype(jnp.float32) / 255.0
     partial, l1_part, ssim_part = _row_span_loss(
         rows, gt, mask, cam_of_row, cfg, lambda_dssim,
@@ -530,6 +564,7 @@ def _local_forward_replicated(
         "radii": splats.radii,
         "per_row_entries": per_row_entries,
         "num_isects": num_isects,
+        "num_kept": num_kept,
         "a2a_overflow": jnp.zeros((), jnp.int32),
         "a2a_demand": jnp.zeros((), jnp.int32),
     }
@@ -657,6 +692,7 @@ class ShardedTrainer:
             # device_get fully-replicated values, and every host needs the
             # full cost picture to compute the same division_pos anyway
             num_isects_g = jax.lax.all_gather(aux["num_isects"], AXIS)
+            num_kept_g = jax.lax.all_gather(aux["num_kept"], AXIS)
             overflow_g = jax.lax.all_gather(aux["a2a_overflow"], AXIS)
             demand_g = jax.lax.all_gather(aux["a2a_demand"], AXIS)
             metrics = {
@@ -666,23 +702,25 @@ class ShardedTrainer:
                 "per_row_entries": jax.lax.all_gather(
                     aux["per_row_entries"], AXIS),                 # (D, R)
                 "num_isects": num_isects_g,                        # (D,)
+                "num_kept": num_kept_g,                            # (D,)
                 "a2a_overflow": overflow_g,                        # (D,)
                 "a2a_demand": demand_g,                            # (D,)
-                # packed copy of (num_isects | a2a_overflow | a2a_demand):
-                # the host tuner reads telemetry EVERY step, and on a
-                # tunneled transport each device_get is a ~25ms RPC — one
-                # packed fetch instead of three
+                # packed copy of (num_isects | a2a_overflow | a2a_demand |
+                # num_kept): the host tuner reads telemetry EVERY step, and
+                # on a tunneled transport each device_get is a ~25ms RPC —
+                # one packed fetch instead of four
                 "telemetry": jnp.concatenate(
                     [num_isects_g.astype(jnp.float32),
                      overflow_g.astype(jnp.float32),
-                     demand_g.astype(jnp.float32)]),               # (3D,)
+                     demand_g.astype(jnp.float32),
+                     num_kept_g.astype(jnp.float32)]),             # (4D,)
                 "xyz_lr": xyz_lr,
             }
             return new_state, metrics
 
         metrics_spec = {
             "loss": P(), "l1": P(), "ssim": P(),
-            "per_row_entries": P(), "num_isects": P(),
+            "per_row_entries": P(), "num_isects": P(), "num_kept": P(),
             "a2a_overflow": P(), "a2a_demand": P(),
             "telemetry": P(), "xyz_lr": P(),
         }
@@ -730,7 +768,7 @@ class ShardedTrainer:
             d_idx = jax.lax.axis_index(AXIS)
             row_lo = division_pos[d_idx]
             row_hi = division_pos[d_idx + 1]
-            rows, mask, cam_of_row, _, _ = _render_owned_rows(
+            rows, mask, cam_of_row, _, _, _ = _render_owned_rows(
                 recv_payload, recv_meta, row_lo, row_hi, cfg, bg,
             )
             rows = rows * mask[:, None, :, :]

@@ -192,10 +192,16 @@ def test_distributed_train_step_losses_and_descent(mesh8, small_scene):
             demand = np.asarray(metrics["a2a_demand"])
             assert demand.max() > 0
             assert demand.max() <= cfg.send_cap
-            # the packed telemetry carries all three segments
+            # the packed telemetry carries all four segments
             tel = np.asarray(metrics["telemetry"])
-            assert tel.shape == (24,)   # 3 segments x 8 devices
-            assert tel[16:].max() == demand.max()
+            assert tel.shape == (32,)   # 4 segments x 8 devices
+            assert tel[16:24].max() == demand.max()
+            # post-cull kept count: positive, never above the expansion
+            kept = np.asarray(metrics["num_kept"])
+            assert kept.max() > 0
+            assert kept.max() <= np.asarray(metrics["num_isects"]).max() \
+                or kept.max() <= cfg.isect_capacity
+            assert tel[24:].max() == kept.max()
     assert losses[-1] < losses[0], losses
     # iteration advanced
     assert int(jax.device_get(state.iteration)) == 8 * bsz

@@ -57,7 +57,7 @@ def test_trainer_end_to_end_with_growth(tiny_scene, tmp_path, eight_devices):
     assert plys == [f"point_cloud_rk{d}_ws8.ply" for d in range(8)]
     ckpt_dir = os.path.join(str(tmp_path), "checkpoints", str(it))
     assert sorted(os.listdir(ckpt_dir)) == [
-        f"chkpnt_ws=8_rk={d}.npz" for d in range(8)]
+        f"chkpnt_ws=8_rk={d}.npz" for d in range(8)] + ["tuner.json"]
 
     # sharded PLYs round-trip through the auto-detecting loader
     from grendel_tpu.engine.gaussian_io import load_ply
