@@ -47,7 +47,12 @@ class DecodedLru:
                 "GRENDEL_GT_CACHE_BYTES", 1 << 30))
         self.max_bytes = max_bytes
         self.bytes = 0
-        # id(cam) -> (cam, img); holding the camera ref keeps its id valid
+        # id(cam) -> (weakref(cam), img). The WEAK camera ref scopes the
+        # cache to the cameras' (Scene's) lifetime: a finalizer evicts the
+        # entry when the camera is collected, so a discarded Scene cannot
+        # pin up to max_bytes of decoded images for process lifetime
+        # (ADVICE r4). The weakref also keeps id(cam) unambiguous while
+        # the entry lives.
         self._entries: OrderedDict = OrderedDict()
 
     def get(self, cam) -> Optional[np.ndarray]:
@@ -58,13 +63,24 @@ class DecodedLru:
         self._entries.move_to_end(k)
         return hit[1]
 
+    def _evict_key(self, k: int):
+        hit = self._entries.pop(k, None)
+        if hit is not None:
+            self.bytes -= hit[1].nbytes
+
     def put(self, cam, img: np.ndarray):
+        import weakref
+
         if img.nbytes > self.max_bytes:
             return
         k = id(cam)
         if k in self._entries:
             self.bytes -= self._entries[k][1].nbytes
-        self._entries[k] = (cam, img)
+            ref = self._entries[k][0]
+        else:
+            ref = weakref.ref(cam)
+            weakref.finalize(cam, self._evict_key, k)
+        self._entries[k] = (ref, img)
         self._entries.move_to_end(k)
         self.bytes += img.nbytes
         while self.bytes > self.max_bytes and self._entries:
@@ -107,10 +123,14 @@ class Camera:
         self.full_proj = (proj @ self.world_view).astype(np.float32)
         self.camera_center = np.linalg.inv(self.world_view)[:3, 3].astype(np.float32)
 
-    def gt(self) -> Optional[np.ndarray]:
+    def gt(self, cache: bool = True) -> Optional[np.ndarray]:
         """GT image, decoding on demand (LRU-cached) for lazily-stored
         cameras — the decode counter advances once per cache miss, so per
-        epoch it is bounded by #cameras-touched, not #steps x bsz."""
+        epoch it is bounded by #cameras-touched, not #steps x bsz.
+
+        ``cache=False`` reads through without INSERTING on a miss: eval
+        sweeps over every camera would otherwise evict the training
+        working set from the byte-budgeted LRU (ADVICE r4)."""
         if self.gt_image_u8 is not None:
             return self.gt_image_u8
         if self.gt_loader is not None:
@@ -118,7 +138,8 @@ class Camera:
             if img is None:
                 LAZY_DECODE_COUNT[0] += 1
                 img = self.gt_loader()
-                GT_DECODE_CACHE.put(self, img)
+                if cache:
+                    GT_DECODE_CACHE.put(self, img)
             return img
         return None
 

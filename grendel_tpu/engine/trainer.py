@@ -604,7 +604,9 @@ class Trainer:
             # one device round-trip per batch (ref training_report syncs
             # per camera; at 200-camera benchmark evals that serializes) —
             # metrics are computed batched on device and fetched once
-            gt_u8 = np.stack([np.asarray(c.gt()) for c in batch])
+            # read-through (no LRU insert): an eval sweep over all cameras
+            # must not evict the training working set (ADVICE r4)
+            gt_u8 = np.stack([np.asarray(c.gt(cache=False)) for c in batch])
             p_b, l_b = _batched_psnr_l1(imgs, jnp.asarray(gt_u8))
             psnrs.extend(np.asarray(p_b).tolist())
             l1s.extend(np.asarray(l_b).tolist())

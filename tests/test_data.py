@@ -321,6 +321,37 @@ def test_gt_decode_cache_byte_budget(colmap_scene_dir):
         assert cam_mod.LAZY_DECODE_COUNT[0] == n0 + 3
         cams[0].gt()                                # evicted -> re-decode
         assert cam_mod.LAZY_DECODE_COUNT[0] == n0 + 4
+        # read-through mode decodes but does NOT insert (eval sweeps must
+        # not evict the training working set)
+        resident = set(lru._entries)
+        bytes_before = lru.bytes
+        cams[3].gt(cache=False)
+        assert cam_mod.LAZY_DECODE_COUNT[0] == n0 + 5
+        assert set(lru._entries) == resident and lru.bytes == bytes_before
+    finally:
+        cam_mod.GT_DECODE_CACHE = old
+
+
+def test_gt_decode_cache_released_with_scene(colmap_scene_dir):
+    """The LRU holds cameras WEAKLY: when a Scene (and its cameras) is
+    discarded, its decoded images leave the cache instead of staying
+    pinned for process lifetime (ADVICE r4)."""
+    import gc
+
+    from grendel_tpu import cameras as cam_mod
+
+    lru = cam_mod.DecodedLru(max_bytes=1 << 30)
+    old = cam_mod.GT_DECODE_CACHE
+    cam_mod.GT_DECODE_CACHE = lru
+    try:
+        scene = Scene(str(colmap_scene_dir), eval_split=False, shuffle=False,
+                      decode_mask=lambda i, ci: False)
+        for c in scene.train_cameras[:3]:
+            c.gt()
+        assert lru.bytes > 0
+        del scene, c
+        gc.collect()
+        assert lru.bytes == 0 and not lru._entries
     finally:
         cam_mod.GT_DECODE_CACHE = old
 

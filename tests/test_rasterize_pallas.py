@@ -217,3 +217,61 @@ def test_tile_geometry_parity(tile_w, tile_h):
                 np.asarray(getattr(gp, name)) / scale, g16 / scale,
                 1e-3, 0.03, 0.05,
                 f"{backend} {tile_w}x{tile_h} {name}")
+
+
+@pytest.mark.parametrize("tile_w,tile_h", [(16, 16), (32, 16), (32, 32)])
+def test_tile_geometry_backend_parity_with_binding_cutoff(tile_w, tile_h):
+    """With enough overlapping Gaussians that the per-tile depth cutoff
+    BINDS, both backends must truncate identically at every geometry when
+    max_per_tile scales with tile area (the production rule that keeps the
+    per-pixel blend budget constant). The non-truncating regime is pinned
+    by test_tile_geometry_parity; this pins the budget-dependent regime."""
+    from grendel_tpu.cameras import batch_camera_arrays
+    from grendel_tpu.engine.render import RenderConfig, render_batch
+    from grendel_tpu.models.gaussian_model import GaussianParams
+    from grendel_tpu.testing import make_test_camera, random_gaussians
+    from grendel_tpu.utils.math3d import inverse_sigmoid
+
+    b, n, w, h = 2, 600, 96, 80
+    # clustered, translucent, overlapping: deep per-tile lists
+    means, scales, quats, opac, sh = random_gaussians(
+        jax.random.PRNGKey(9), n, extent=0.5, sh_degree=1)
+    params = GaussianParams(
+        means3d=means, sh_dc=sh[:, :1, :], sh_rest=sh[:, 1:, :],
+        scales_raw=jnp.log(scales * 2.0), quats=quats,
+        opacities_raw=inverse_sigmoid(
+            jnp.clip(opac * 0.3 + 0.02, 1e-4, 1 - 1e-4)))
+    alive = jnp.ones(n, bool)
+    cams = batch_camera_arrays(
+        [make_test_camera(w, h, angle=0.4 * i) for i in range(b)])
+    bg = jnp.array([0.15, 0.25, 0.1])
+    mpt = 64 * (tile_w * tile_h) // 256      # constant 1/4-entry-per-pixel
+
+    def run(backend):
+        cfg = RenderConfig(img_h=h, img_w=w, tile_w=tile_w, tile_h=tile_h,
+                           isect_capacity=1 << 15, max_per_tile=mpt,
+                           backend=backend)
+
+        def loss_fn(p, tap):
+            imgs, splats, aux = render_batch(
+                p, alive, cams, 1, cfg, bg=bg, means2d_tap=tap)
+            return jnp.sum(imgs ** 2), (imgs, aux)
+
+        tap = jnp.zeros((b, n, 2), jnp.float32)
+        (val, (imgs, aux)), (g_p, g_tap) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, tap)
+        return imgs, aux, g_p, g_tap
+
+    imgs_j, aux_j, gp_j, gt_j = run("jax")
+    # the cutoff must actually bind somewhere
+    assert int(np.asarray(aux_j.n_entries).max()) > mpt, \
+        "scene does not exercise the depth cutoff"
+    imgs_p, aux_p, gp_p, gt_p = run("pallas_interpret")
+    np.testing.assert_allclose(np.asarray(imgs_p), np.asarray(imgs_j),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_j),
+                               atol=1e-4, rtol=1e-3)
+    for name in gp_j._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(gp_p, name)), np.asarray(getattr(gp_j, name)),
+            atol=1e-4, rtol=1e-3, err_msg=name)
