@@ -55,6 +55,8 @@ def main():
     ap.add_argument("--trace", type=str, default=None,
                     help="jax.profiler trace output dir")
     ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--no_compaction", action="store_true",
+                    help="disable the post-cull blend-budget compaction")
     a = ap.parse_args()
 
     import jax
@@ -125,16 +127,25 @@ def main():
         ca.viewmat, ca.full_proj, ca.campos, ca.tanfov,
         h, w, sh_degree))(params, alive, ca0)
     tile_w, tile_h = (int(x) for x in a.tile.split("x"))
-    n_isect = int(jax.jit(lambda s: isect_tiles(
+    probe = jax.jit(lambda s: isect_tiles(
         s.means2d, s.radii, s.depths, tile_w, tile_h,
         -(-w // tile_w), -(-h // tile_h),
-        1 << 23, opacities=s.opacities).num_isects)(sp0))
-    nt = max(int(1.15 * n_isect), 1 << 14)
-    k = max(int(np.floor(np.log2(nt))) - 3, 7)
-    isect_cap = -(-nt // (1 << k)) << k
-    isect_cap = -(-isect_cap // 128) * 128
+        1 << 23, opacities=s.opacities))(sp0)
+    n_isect, n_kept = int(probe.num_isects), int(probe.num_kept)
+
+    def cap_of(demand):
+        nt = max(int(1.15 * demand), 1 << 14)
+        k = max(int(np.floor(np.log2(nt))) - 3, 7)
+        cap = -(-nt // (1 << k)) << k
+        return -(-cap // 128) * 128
+
+    isect_cap = cap_of(n_isect)
+    blend_cap = isect_cap if a.no_compaction else min(cap_of(n_kept),
+                                                      isect_cap)
+    print(f"# {n_isect} isects/cam ({n_kept} post-cull), capacity "
+          f"{isect_cap}, blend {blend_cap}")
     cfg = RenderConfig(img_h=h, img_w=w, tile_w=tile_w, tile_h=tile_h,
-                       isect_capacity=isect_cap,
+                       isect_capacity=isect_cap, blend_capacity=blend_cap,
                        max_per_tile=1024 * (tile_w * tile_h) // 256,
                        chunk=64, backend=backend)
     rng = np.random.default_rng(seed)
@@ -183,6 +194,16 @@ def main():
     isect = isect_only(splats0)
     times["isect"] = timeit(isect_only, splats0, steps=a.steps) * bsz
 
+    # isolated raster stages see the same compacted entry list production
+    # sees (engine/render.py applies this inside the fused step)
+    ids_r, toff_r = isect.gauss_ids, isect.tile_offsets
+    if cfg.blend_cap < cfg.isect_capacity:
+        from grendel_tpu.ops.isect import compact_entries_flat
+
+        ids_r, toff_r = jax.jit(
+            lambda i, t: compact_entries_flat(i, t, cfg.blend_cap)
+        )(ids_r, toff_r)
+
     # ---- rasterize fwd only ----
     # numpy on purpose: np closures embed as HLO literals; capturing
     # committed device arrays would force an extra readback at lowering
@@ -200,27 +221,27 @@ def main():
                         cfg.chunk)
 
     @jax.jit
-    def raster_fwd(sp, ise):
+    def raster_fwd(sp, ids, toff):
         return rs(sp.means2d, sp.conics, sp.colors, sp.opacities,
-                  ise.gauss_ids, ise.tile_offsets, px0, py0,
+                  ids, toff, px0, py0,
                   cfg.tile_w, cfg.tile_h, cfg.max_per_tile)[0]
 
-    raster_fwd(splats0, isect)
-    times["raster_fwd"] = timeit(raster_fwd, splats0, isect,
+    raster_fwd(splats0, ids_r, toff_r)
+    times["raster_fwd"] = timeit(raster_fwd, splats0, ids_r, toff_r,
                                  steps=a.steps) * bsz
 
     # ---- rasterize fwd+bwd ----
     @jax.jit
-    def raster_fwd_bwd(sp, ise):
+    def raster_fwd_bwd(sp, ids, toff):
         def f(m2, co, cl, op):
-            img, tf = rs(m2, co, cl, op, ise.gauss_ids, ise.tile_offsets,
+            img, tf = rs(m2, co, cl, op, ids, toff,
                          px0, py0, cfg.tile_w, cfg.tile_h, cfg.max_per_tile)
             return jnp.sum(img) + jnp.sum(tf)
         return jax.grad(f, argnums=(0, 1, 2, 3))(
             sp.means2d, sp.conics, sp.colors, sp.opacities)
 
-    raster_fwd_bwd(splats0, isect)
-    times["raster_fwd_bwd"] = timeit(raster_fwd_bwd, splats0, isect,
+    raster_fwd_bwd(splats0, ids_r, toff_r)
+    times["raster_fwd_bwd"] = timeit(raster_fwd_bwd, splats0, ids_r, toff_r,
                                      steps=a.steps) * bsz
 
     # ---- loss (L1+SSIM) fwd+bwd ----
