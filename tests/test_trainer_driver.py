@@ -392,3 +392,48 @@ def test_a2a_factor_grows_to_demand_and_releases(tiny_scene, tmp_path,
     # released config compiles the small buckets again
     pcfg3 = trainer._parallel_cfg(cfg.dist.bsz)
     assert pcfg3.send_cap == pcfg.send_cap
+
+
+def test_blend_budget_tuner_compacts_and_grows(tiny_scene, tmp_path,
+                                               eight_devices):
+    """The post-cull blend budget activates from num_kept telemetry
+    (shrink below the expansion buffer once gated windows pass), and a
+    kept-overflow grows it PROMPTLY — survivors above the budget would
+    drop real entries (VERDICT r4 #2 / tests/test_compaction.py)."""
+    cfg = _config(tmp_path, iters=4)
+    trainer = Trainer(cfg, tiny_scene, devices=eight_devices)
+    pcfg = trainer._parallel_cfg(cfg.dist.bsz)
+    cap = pcfg.isect_capacity
+    assert pcfg.blend_capacity == cap          # no telemetry yet
+    trainer.isect_cap_floor = 256              # let small targets act
+    trainer.isect_shrink_gap = 1e9             # isolate the blend tuner
+
+    def metrics(kept):
+        return {"num_isects": np.array([int(0.8 * cap)]),
+                "a2a_overflow": np.array([0]),
+                "a2a_demand": np.array([64]),
+                "num_kept": np.array([kept])}
+
+    # sustained small post-cull demand: after >= 1 window roll + 20
+    # checks the budget shrinks below the expansion buffer
+    window = max(trainer.dataset.epoch_len, 50)
+    kept = cap // 4
+    it = 0
+    for i in range(25):
+        it += 2 * window if i < 2 else 1
+        trainer._check_capacity_telemetry(metrics(kept), pcfg,
+                                          trainer._retune_gen, it=it)
+    assert trainer._blend_cap() < cap
+    assert any(k == "blend_shrink" for k, _ in trainer.capacity_events)
+    small = trainer._blend_cap()
+    pcfg2 = trainer._parallel_cfg(cfg.dist.bsz)
+    assert pcfg2.blend_capacity == small
+
+    # kept-overflow vs the compacted budget: grows immediately (no
+    # 20-check gating — real entries are being dropped)
+    trainer._check_capacity_telemetry(metrics(int(0.95 * small)), pcfg2,
+                                      trainer._retune_gen, it=it + 1)
+    assert trainer._blend_cap() > small
+    assert any(k == "blend_grow" for k, _ in trainer.capacity_events)
+    # never above the expansion buffer
+    assert trainer._blend_cap() <= trainer._isect_cap()
