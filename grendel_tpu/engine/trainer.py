@@ -623,7 +623,8 @@ class Trainer:
         t_start = time.time()
 
         it = int(jax.device_get(self.state.iteration))
-        self._aux_secs = 0.0
+        it0 = it                     # resume-aware: rates count THIS run's
+        self._aux_secs = 0.0         # iterations, not the absolute counter
         # ~10 steady-state steps traced into <model_path>/trace (the TPU
         # analogue of ref --nsys_profile NVTX ranges)
         trace_at = it + max(2 * bsz, 4) if cfg.nsys_profile else None
@@ -753,7 +754,7 @@ class Trainer:
             if it % cfg.log_interval < bsz:
                 loss = float(jax.device_get(metrics["loss"]))
                 n_alive = int(jax.device_get(jnp.sum(self.state.alive)))
-                ips = it / max(time.time() - t_start, 1e-9)
+                ips = (it - it0) / max(time.time() - t_start, 1e-9)
                 self._log(
                     f"iter {it}: loss={loss:.5f} n3dgs={n_alive} "
                     f"xyz_lr={float(metrics['xyz_lr']):.2e} it/s={ips:.2f}")
@@ -875,13 +876,13 @@ class Trainer:
             jax.profiler.stop_trace()
             self._log(f"profiler trace written to {trace_dir}")
         secs = time.time() - t_start
-        self._log(f"training done: {it} iters in {secs / 60:.2f} min "
-                  f"({it / max(secs, 1e-9):.2f} it/s)")
+        self._log(f"training done: {it - it0} iters in {secs / 60:.2f} min "
+                  f"({(it - it0) / max(secs, 1e-9):.2f} it/s)")
         if cfg.end2end_time:
             train_secs = secs - self._aux_secs
             self._log(
                 f"end2end (excl. eval/save): {train_secs / 60:.2f} min "
-                f"({it / max(train_secs, 1e-9):.2f} it/s)")
+                f"({(it - it0) / max(train_secs, 1e-9):.2f} it/s)")
         if cfg.dist.save_strategy_history and self._strategy_history:
             path = os.path.join(
                 cfg.model.model_path,
