@@ -28,11 +28,14 @@ def main():
     # (the per-index gather/segment-sum floor scales with entry count),
     # and bsz=2 amortizes the per-step fixed stages; bsz>=4 gains nothing
     # more and bsz=8 regresses (bigger working set), so 2 is the knee.
-    ap.add_argument("--bsz", type=int, default=2)
+    ap.add_argument("--bsz", type=int, default=None,
+                    help="default: 2 (the measured optimum), or 1 under "
+                         "--config historical")
     ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--tile", type=str, default="32x16",
+    ap.add_argument("--tile", type=str, default=None,
                     help="WxH tile geometry (the reference hardwires 16x16;"
-                         " here it is a measured tunable)")
+                         " here it is a measured tunable). default: 32x16, "
+                         "or 16x16 under --config historical")
     # "historical" re-measures the round-2/3 configuration (bsz=1, 16x16
     # tiles) whose unsuffixed metric key the longitudinal series tracks;
     # the default stays the measured optimum. Run both for a full record:
@@ -43,8 +46,11 @@ def main():
                     help="disable the post-cull blend-budget compaction "
                          "(A/B lever)")
     a = ap.parse_args()
-    if a.config == "historical":
-        a.bsz, a.tile = 1, "16x16"
+    # the preset only fills flags the user left unset (an explicit
+    # --bsz/--tile wins, so the emitted metric key stays truthful)
+    preset = ((1, "16x16") if a.config == "historical" else (2, "32x16"))
+    a.bsz = preset[0] if a.bsz is None else a.bsz
+    a.tile = preset[1] if a.tile is None else a.tile
     tile_w, tile_h = (int(x) for x in a.tile.split("x"))
     import jax
     import jax.numpy as jnp
@@ -128,11 +134,12 @@ def main():
     n_isect = int(probe_isect.num_isects)
     n_kept = int(probe_isect.num_kept)
 
+    from grendel_tpu.utils.hbm import mantissa_round_cap
+
     def cap_of(demand):
-        n = max(int(1.15 * demand), 1 << 14)
-        k = max(int(np.floor(np.log2(n))) - 3, 7)
-        cap = -(-n // (1 << k)) << k
-        return -(-cap // 128) * 128
+        # the trainer tuner's sizing rule (1.15x headroom + shared
+        # mantissa rounding) so the bench runs production buffer sizes
+        return mantissa_round_cap(1.15 * demand)
 
     isect_cap = cap_of(n_isect)
     # post-cull blend budget, sized like the trainer's kept-telemetry tuner:

@@ -54,6 +54,11 @@ class DecodedLru:
         # (ADVICE r4). The weakref also keeps id(cam) unambiguous while
         # the entry lives.
         self._entries: OrderedDict = OrderedDict()
+        # camera ids with a live weakref.finalize registered: a finalizer
+        # is per-CAMERA, not per-insert — byte-budget eviction + re-decode
+        # cycles must not accumulate finalize objects (they live until the
+        # camera dies)
+        self._finalized: set = set()
 
     def get(self, cam) -> Optional[np.ndarray]:
         k = id(cam)
@@ -63,7 +68,8 @@ class DecodedLru:
         self._entries.move_to_end(k)
         return hit[1]
 
-    def _evict_key(self, k: int):
+    def _on_camera_dead(self, k: int):
+        self._finalized.discard(k)      # id may be reused by a new camera
         hit = self._entries.pop(k, None)
         if hit is not None:
             self.bytes -= hit[1].nbytes
@@ -79,7 +85,9 @@ class DecodedLru:
             ref = self._entries[k][0]
         else:
             ref = weakref.ref(cam)
-            weakref.finalize(cam, self._evict_key, k)
+            if k not in self._finalized:
+                self._finalized.add(k)
+                weakref.finalize(cam, self._on_camera_dead, k)
         self._entries[k] = (ref, img)
         self._entries.move_to_end(k)
         self.bytes += img.nbytes

@@ -309,13 +309,13 @@ class Trainer:
         return p.isect_capacity_factor * self.n_local
 
     def _round_cap(self, target: float) -> int:
-        n = max(int(target), self.isect_cap_floor)
-        k = max(int(np.floor(np.log2(n))) - 3, 7)
-        cap = -(-n // (1 << k)) << k
+        from ..utils.hbm import mantissa_round_cap
+
         # single-device blocked rasterization needs bsz*CHUNK divisibility
         # (camera-blocked entry layout, parallel/sharded.py)
-        align = 128 * max(1, self.cfg.dist.bsz)
-        cap = -(-cap // align) * align
+        cap = mantissa_round_cap(
+            target, floor=self.isect_cap_floor,
+            align=128 * max(1, self.cfg.dist.bsz))
         if cap > self.isect_capacity_ceiling:
             # the observed peak can exceed the measured HBM-safe bound
             # (early-training giant-splat transient) — clamp so we never
@@ -983,7 +983,20 @@ class Trainer:
             # grow-recompile count logarithmically
             want = max(want, self._round_cap(1.35 * pcfg.isect_capacity))
             self._isect_cap_current = want
-            self._refresh_blend_cap()   # piggyback on this recompile
+            if num_isects > pcfg.isect_capacity:
+                # a true expansion OVERFLOW capped the kept telemetry
+                # (num_kept can never exceed the compiled buffer) — sizing
+                # the blend budget from it would clamp real survivors and
+                # force an extra blend-grow recompile. Deactivate
+                # compaction and relearn kept demand under the new
+                # capacity (the gated shrink path re-activates it after a
+                # fresh window).
+                self._blend_cap_current = None
+                if hasattr(self, "_kept_buckets"):
+                    del self._kept_buckets
+                self._kept_peak = 0.0
+            else:
+                self._refresh_blend_cap()   # telemetry valid: piggyback
             self._retune()
             self._isect_shrink_checks = 0
             self.capacity_events.append(("isect_grow", want))

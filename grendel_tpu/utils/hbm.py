@@ -36,6 +36,23 @@ _HBM_BY_KIND = {
 BYTES_PER_ISECT_ENTRY = 72.0
 
 
+def mantissa_round_cap(n: float, floor: int = 1 << 14,
+                       align: int = 128) -> int:
+    """Entry-capacity rounding shared by the trainer's tuner
+    (Trainer._round_cap), bench.py and scripts/profile_step.py — one
+    recipe so the benchmarks size buffers exactly like production: clamp
+    to ``floor``, round up to a 1/8-power-of-two mantissa step (pow2
+    doubling wasted up to 2x on capacity-proportional per-index ops),
+    then align up to ``align`` (the rasterizer CHUNK, x bsz for the
+    camera-blocked layout)."""
+    import numpy as np
+
+    n = max(int(n), floor)
+    k = max(int(np.floor(np.log2(n))) - 3, 7)
+    cap = -(-n // (1 << k)) << k
+    return -(-cap // align) * align
+
+
 def hbm_bytes_limit() -> Optional[int]:
     """Per-device HBM size: memory_stats when the runtime reports it, else
     a device-kind table, else None (no guard — e.g. CPU meshes)."""

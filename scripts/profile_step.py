@@ -133,11 +133,11 @@ def main():
         1 << 23, opacities=s.opacities))(sp0)
     n_isect, n_kept = int(probe.num_isects), int(probe.num_kept)
 
+    from grendel_tpu.utils.hbm import mantissa_round_cap
+
     def cap_of(demand):
-        nt = max(int(1.15 * demand), 1 << 14)
-        k = max(int(np.floor(np.log2(nt))) - 3, 7)
-        cap = -(-nt // (1 << k)) << k
-        return -(-cap // 128) * 128
+        # the trainer tuner's sizing rule (see bench.py / Trainer._round_cap)
+        return mantissa_round_cap(1.15 * demand)
 
     isect_cap = cap_of(n_isect)
     blend_cap = isect_cap if a.no_compaction else min(cap_of(n_kept),

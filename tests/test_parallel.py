@@ -196,11 +196,11 @@ def test_distributed_train_step_losses_and_descent(mesh8, small_scene):
             tel = np.asarray(metrics["telemetry"])
             assert tel.shape == (32,)   # 4 segments x 8 devices
             assert tel[16:24].max() == demand.max()
-            # post-cull kept count: positive, never above the expansion
+            # post-cull kept count: positive, never above the pre-cull
+            # demand (holds per device, hence for the maxima)
             kept = np.asarray(metrics["num_kept"])
             assert kept.max() > 0
-            assert kept.max() <= np.asarray(metrics["num_isects"]).max() \
-                or kept.max() <= cfg.isect_capacity
+            assert kept.max() <= np.asarray(metrics["num_isects"]).max()
             assert tel[24:].max() == kept.max()
     assert losses[-1] < losses[0], losses
     # iteration advanced
