@@ -602,7 +602,10 @@ def _core_bwd(tile_w, tile_h, max_per_tile, interpret, num_gaussians,
     # the overall end (flat layout) or in a camera block's padding tail
     # (blocked layout, where gauss_ids already carry the sentinel) — both
     # resolve to sentinel segment ids that the scatter drops.
-    d_entries = d_payload.transpose(0, 2, 1).reshape(-1, PAYLOAD_W)
+    # Only the first 9 payload rows carry gradients (the kernel zero-fills
+    # 9..15): slicing before the segment-sum shrinks the scatter updates
+    # and the (N, .) accumulator by 16/9 of HBM traffic.
+    d_entries = d_payload.transpose(0, 2, 1).reshape(-1, PAYLOAD_W)[:, :9]
     cap = gauss_ids.shape[0]
     in_span = jnp.arange(cap, dtype=jnp.int32) < tile_hi[-1]
     seg_ids = jnp.where(in_span, gauss_ids, num_gaussians)
