@@ -58,6 +58,15 @@ class BlockedTileIntersections(NamedTuple):
                              # sizes the blend-capacity compaction
 
 
+def _delta_buf(values: Array, seg_starts: Array, capacity: int) -> Array:
+    """Scatter-add of value deltas at segment starts (the pre-cumsum half
+    of a segment broadcast). Zero-length segments scatter onto the same
+    position and telescope correctly through the add."""
+    deltas = jnp.diff(values, prepend=0)
+    return jnp.zeros((capacity,), values.dtype).at[seg_starts].add(
+        jnp.where(seg_starts < capacity, deltas, 0), mode="drop")
+
+
 def _segment_broadcast(values: Array, seg_starts: Array, capacity: int) -> Array:
     """Broadcast per-segment values over a flat entry axis without gathers.
 
@@ -66,13 +75,22 @@ def _segment_broadcast(values: Array, seg_starts: Array, capacity: int) -> Array
     as scatter-add of value deltas at segment starts + cumsum — O(N + E)
     with NO gather (XLA TPU gathers of E random indices are ~10x slower
     than a cumsum of the same length; measured 30ms vs 5ms at E=2M).
-    Zero-length segments scatter onto the same position and telescope
-    correctly through the add.
     """
-    deltas = jnp.diff(values, prepend=0)
-    buf = jnp.zeros((capacity,), values.dtype).at[seg_starts].add(
-        jnp.where(seg_starts < capacity, deltas, 0), mode="drop")
-    return jnp.cumsum(buf)
+    return jnp.cumsum(_delta_buf(values, seg_starts, capacity))
+
+
+def _segment_broadcast_multi(values_list, seg_starts: Array,
+                             capacity: int) -> list:
+    """All of an expansion's segment broadcasts in one pass: the scatter
+    halves stay XLA (N-sized), the cumsums run as ONE multi-channel
+    Pallas scan on TPU (bit-identical; XLA's cumsum costs ~2.3 ms/M
+    element and the expansion needs 3-5 of them — see ops/scan_pallas.py)."""
+    bufs = [_delta_buf(v, seg_starts, capacity) for v in values_list]
+    from .scan_pallas import cumsum_i32_multi, use_pallas_scan
+
+    if use_pallas_scan():
+        return cumsum_i32_multi(bufs)
+    return [jnp.cumsum(b) for b in bufs]
 
 
 def compact_entries_blocked(ids: Array, tlo: Array, thi: Array,
@@ -272,14 +290,19 @@ def isect_tile_rows(
     # attributes over the entry axis via scatter-deltas + cumsum
     e = jnp.arange(capacity, dtype=jnp.int32)
     seg_starts = (cum - counts).astype(jnp.int32)
-    startb = _segment_broadcast(seg_starts, seg_starts, capacity)
     packed = (x0 | (ty_lo << 10) | (spanx << 20)).astype(jnp.int32)
-    packedb = _segment_broadcast(packed, seg_starts, capacity)
+    cull_on = (opacities is not None
+               and tiles_x * tile_w <= CULL_COORD_MAX
+               and tiles_y * tile_h <= CULL_COORD_MAX)
+    chans = [seg_starts, packed, order.astype(jnp.int32),
+             cam.astype(jnp.int32)]
+    if cull_on:
+        chans.append(_pack_cull(mx, my, rc_full))
+    bcast = _segment_broadcast_multi(chans, seg_starts, capacity)
+    startb, packedb, gid, camb = bcast[:4]
     x0b = packedb & 0x3FF
     tylob = (packedb >> 10) & 0x3FF
     sxb = jnp.maximum(packedb >> 20, 1)
-    gid = _segment_broadcast(order.astype(jnp.int32), seg_starts, capacity)
-    camb = _segment_broadcast(cam.astype(jnp.int32), seg_starts, capacity)
 
     within = e - startb
     dy = within // sxb
@@ -288,11 +311,8 @@ def isect_tile_rows(
     tx = x0b + dx
     slot = (camb * tiles_y + ty - row_lo) * tiles_x + tx
     valid = (e < total) & (slot >= 0) & (slot < num_slots)
-    if opacities is not None and tiles_x * tile_w <= CULL_COORD_MAX \
-            and tiles_y * tile_h <= CULL_COORD_MAX:
-        p2 = _segment_broadcast(_pack_cull(mx, my, rc_full), seg_starts,
-                                capacity)
-        valid = valid & _corner_cull_keep(tx, ty, p2, tile_w, tile_h)
+    if cull_on:
+        valid = valid & _corner_cull_keep(tx, ty, bcast[4], tile_w, tile_h)
     slot = jnp.where(valid, slot, num_slots).astype(jnp.int32)
 
     slot_sorted, gid_sorted = jax.lax.sort_key_val(slot, gid, is_stable=True)
@@ -383,14 +403,19 @@ def isect_tile_rows_blocked(
         starts_blocked, (cam_of_g + 1) * block).astype(jnp.int32)
 
     e = jnp.arange(capacity, dtype=jnp.int32)
-    startb = _segment_broadcast(starts_blocked.astype(jnp.int32),
-                                starts_eff, capacity)
     packed = (x0 | (y0 << 10) | (spanx << 20)).astype(jnp.int32)
-    packedb = _segment_broadcast(packed, starts_eff, capacity)
+    cull_on = (opacities is not None
+               and tiles_x * tile_w <= CULL_COORD_MAX
+               and tiles_y * tile_h <= CULL_COORD_MAX)
+    chans = [starts_blocked.astype(jnp.int32), packed,
+             order.astype(jnp.int32)]
+    if cull_on:
+        chans.append(_pack_cull(mx, my, rc_full))
+    bcast = _segment_broadcast_multi(chans, starts_eff, capacity)
+    startb, packedb, gid = bcast[:3]
     x0b = packedb & 0x3FF
     y0b = (packedb >> 10) & 0x3FF
     sxb = jnp.maximum(packedb >> 20, 1)
-    gid = _segment_broadcast(order.astype(jnp.int32), starts_eff, capacity)
 
     cam_e = e // block                        # entry's camera block
     within = e - startb
@@ -404,11 +429,8 @@ def isect_tile_rows_blocked(
     valid_end = cam_e * block + jnp.repeat(
         jnp.minimum(cam_tot, block).astype(jnp.int32), block)
     valid = e < valid_end
-    if opacities is not None and tiles_x * tile_w <= CULL_COORD_MAX \
-            and tiles_y * tile_h <= CULL_COORD_MAX:
-        p2 = _segment_broadcast(_pack_cull(mx, my, rc_full), starts_eff,
-                                capacity)
-        valid = valid & _corner_cull_keep(tx, ty, p2, tile_w, tile_h)
+    if cull_on:
+        valid = valid & _corner_cull_keep(tx, ty, bcast[3], tile_w, tile_h)
     slot_local = ty * tiles_x + tx
     ekey = jnp.where(valid, cam_e * (numt + 1) + slot_local,
                      cam_e * (numt + 1) + numt).astype(jnp.int32)
@@ -487,13 +509,18 @@ def isect_tiles(
     # (XLA TPU gathers at E=2M cost ~30ms each; a cumsum ~5ms).
     e = jnp.arange(capacity, dtype=jnp.int32)
     seg_starts = (cum - counts).astype(jnp.int32)
-    startb = _segment_broadcast(seg_starts, seg_starts, capacity)
     packed = (x0 | (y0 << 10) | (spanx << 20)).astype(jnp.int32)
-    packedb = _segment_broadcast(packed, seg_starts, capacity)
+    cull_on = (opacities is not None
+               and tiles_x * tile_w <= CULL_COORD_MAX
+               and tiles_y * tile_h <= CULL_COORD_MAX)
+    chans = [seg_starts, packed, order.astype(jnp.int32)]
+    if cull_on:
+        chans.append(_pack_cull(mx, my, rc_full))
+    bcast = _segment_broadcast_multi(chans, seg_starts, capacity)
+    startb, packedb, gid = bcast[:3]
     x0b = packedb & 0x3FF
     y0b = (packedb >> 10) & 0x3FF
     sxb = jnp.maximum(packedb >> 20, 1)
-    gid = _segment_broadcast(order.astype(jnp.int32), seg_starts, capacity)
 
     within = e - startb
     dy = within // sxb
@@ -501,14 +528,11 @@ def isect_tiles(
     ty = y0b + dy
     tx = x0b + dx
     valid = e < total
-    if opacities is not None and tiles_x * tile_w <= CULL_COORD_MAX \
-            and tiles_y * tile_h <= CULL_COORD_MAX:
+    if cull_on:
         # corner cull: an entry whose tile lies entirely outside the cull
         # circle is all-skip in the blend — drop it to the sentinel so the
         # kernel never walks it (output-invariant, see cull_radius)
-        p2 = _segment_broadcast(_pack_cull(mx, my, rc_full), seg_starts,
-                                capacity)
-        valid = valid & _corner_cull_keep(tx, ty, p2, tile_w, tile_h)
+        valid = valid & _corner_cull_keep(tx, ty, bcast[3], tile_w, tile_h)
     tile = jnp.where(valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
 
     # 4. stable sort by tile id, carrying the original Gaussian index

@@ -124,3 +124,20 @@ if __name__ == "__main__":
         print("PASS: pallas matches jax on hardware")
         test_mxu_bwd_reduce_gradient_error_band()
         print("PASS: MXU bwd-reduce gradient error inside band")
+
+
+def test_pallas_scan_matches_cumsum_on_hardware():
+    """The compiled (Mosaic) multi-channel prefix scan is bit-identical to
+    jnp.cumsum at production entry-axis sizes (the isect expansion's
+    segment broadcasts run through it on TPU — ops/scan_pallas.py)."""
+    import jax.numpy as jnp
+    from grendel_tpu.ops.scan_pallas import cumsum_i32_multi
+
+    rng = np.random.default_rng(7)
+    m = 1_048_576 + 384          # non-block-multiple production size
+    xs = [jnp.asarray(rng.integers(-5000, 5000, m, dtype=np.int32))
+          for _ in range(4)]
+    outs = cumsum_i32_multi(xs)          # compiled, not interpret
+    for x, o in zip(xs, outs):
+        np.testing.assert_array_equal(np.asarray(o),
+                                      np.asarray(jnp.cumsum(x)))
