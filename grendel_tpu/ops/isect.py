@@ -283,7 +283,8 @@ def isect_tile_rows(
     ty_hi = jnp.minimum(ty_hi, row_lo - cam * tiles_y + n_row_slots)
     spany_own = jnp.maximum(ty_hi - ty_lo, 0)
     counts = spanx * spany_own
-    cum = jnp.cumsum(counts)
+    from .scan_pallas import cumsum_i32
+    cum = cumsum_i32(counts)
     total = cum[-1]
 
     # gather-free expansion (see isect_tiles): broadcast per-gaussian
@@ -385,7 +386,8 @@ def isect_tile_rows_blocked(
     x0, y0, spanx, spany = gaussian_tile_rect(
         m2d, rad, tile_w, tile_h, tiles_x, tiles_y, rect_r)
     counts = spanx * spany
-    cum = jnp.cumsum(counts)
+    from .scan_pallas import cumsum_i32
+    cum = cumsum_i32(counts)
     cam_of_g = cam_of_univ                    # owner-major camera (static)
     # camera base = total entries of earlier cameras (gather of B values)
     cam_ends = cum[(jnp.arange(n_cams) + 1) * n_univ - 1]
@@ -500,7 +502,8 @@ def isect_tiles(
     x0, y0, spanx, spany = gaussian_tile_rect(
         m2d, rad, tile_w, tile_h, tiles_x, tiles_y, rect_r)
     counts = spanx * spany
-    cum = jnp.cumsum(counts)                       # inclusive
+    from .scan_pallas import cumsum_i32
+    cum = cumsum_i32(counts)                       # inclusive
     total = cum[-1]
 
     # 3. expand: entry e belongs to depth-rank g with cum[g-1] <= e < cum[g].

@@ -111,6 +111,14 @@ def cumsum_i32_multi(xs, interpret: bool = False) -> list:
     return [flat[c] for c in range(n_channels)]
 
 
+def cumsum_i32(x: Array, interpret: bool = False) -> Array:
+    """Single-channel convenience wrapper: Pallas scan on TPU, jnp.cumsum
+    elsewhere (bit-identical either way)."""
+    if use_pallas_scan():
+        return cumsum_i32_multi([x], interpret=interpret)[0]
+    return jnp.cumsum(x.astype(jnp.int32))
+
+
 def use_pallas_scan() -> bool:
     """Pallas cumsum on real TPU backends only (interpret-mode scans are
     orders slower than jnp.cumsum on CPU)."""

@@ -200,7 +200,8 @@ def _route_pack_exchange(
     pos = jnp.arange(e_total, dtype=jnp.int32)
     # start position of each entry's destination segment, broadcast over the
     # sorted axis without a gather (sorted_dest is monotone)
-    seg_start_b = jnp.cumsum(
+    from ..ops.scan_pallas import cumsum_i32
+    seg_start_b = cumsum_i32(
         jnp.zeros((e_total,), jnp.int32).at[dest_start].add(
             jnp.diff(dest_start, prepend=0), mode="drop"))
     rank = pos - seg_start_b
