@@ -121,6 +121,22 @@ def _cumprod_lanes(x):
     return x
 
 
+def _tree_sum_rows(x):
+    """Sum over the sublane (pixel) axis by explicit geometric halving:
+    each level adds two STATIC half-slices, so level L touches P/2^L rows
+    — ~2x the (P,K) work total, vs a log-tree that keeps the full shape
+    at every level. P is a power of two here (tile_w*tile_h in
+    {256, 512, 1024})."""
+    p = x.shape[0]
+    if p & (p - 1):                       # non-pow2 guard: plain reduce
+        return jnp.sum(x, axis=0, keepdims=True)
+    while p > 1:
+        h = p // 2
+        x = x[:h] + x[h:p]
+        p = h
+    return x
+
+
 def _pixel_grid(px0, py0, tile_w: int, tile_h: int):
     """(P, 1) pixel coordinates of a tile at origin (px0, py0)."""
     p = tile_w * tile_h
@@ -376,7 +392,7 @@ def _bwd_kernel(
                 [rows, jnp.zeros((PAYLOAD_W - 9, CHUNK), jnp.float32)],
                 axis=0)
         else:
-            rows = [jnp.sum(t_, axis=0, keepdims=True) for t_ in terms]
+            rows = [_tree_sum_rows(t_) for t_ in terms]
             d_chunk = jnp.concatenate(
                 rows + [jnp.zeros((PAYLOAD_W - 9, CHUNK), jnp.float32)],
                 axis=0)
