@@ -204,7 +204,7 @@ def _fwd_kernel(
         in_copy(0).start()
 
     def body(carry):
-        c, t_in, acc = carry
+        c, t_in, acc_l = carry
         # double buffering: prefetch chunk c+1 while blending chunk c
         @pl.when(c + 1 < n_chunks)
         def _():
@@ -221,24 +221,29 @@ def _fwd_kernel(
         t_before = t_in * _excl_from_incl(cump, 1.0)
         w = jnp.where(include, alpha * t_before, 0.0)      # (P, K)
         rgb = chunk[5:8, :]                                # (3, K)
-        # exact f32 VPU accumulation (a HIGHEST-precision MXU dot was
-        # measured neutral here — keep the bit-exact f32 forward)
-        acc = acc + jnp.concatenate(
-            [jnp.sum(w * rgb[0:1, :], axis=1, keepdims=True),
-             jnp.sum(w * rgb[1:2, :], axis=1, keepdims=True),
-             jnp.sum(w * rgb[2:3, :], axis=1, keepdims=True),
-             jnp.zeros((p, 1), jnp.float32)], axis=1)      # (P, 4)
+        # exact f32 VPU accumulation, DEFERRED: per-lane partial sums
+        # accumulate across chunks and reduce over lanes ONCE after the
+        # walk — the three per-chunk 7-step lane-reduction trees were
+        # ~25% of the kernel's vector issues. (An MXU dot here was
+        # measured neutral in round 3 — the win is skipping reductions,
+        # not moving them.)
+        acc_l = acc_l + w[None, :, :] * rgb[:, None, :]    # (3, P, K)
         t_in = jnp.min(jnp.where(include, t_after, t_in), axis=1,
                        keepdims=True)                      # (P, 1)
-        return c + 1, t_in, acc
+        return c + 1, t_in, acc_l
 
     def cond(carry):
         c, t_in, _ = carry
         return (c < n_chunks) & (jnp.max(t_in) >= T_EPS)
 
     init = (jnp.int32(0), jnp.ones((p, 1), jnp.float32),
-            jnp.zeros((p, 4), jnp.float32))
-    c_stop, t_fin, acc = jax.lax.while_loop(cond, body, init)
+            jnp.zeros((3, p, CHUNK), jnp.float32))
+    c_stop, t_fin, acc_l = jax.lax.while_loop(cond, body, init)
+    acc = jnp.concatenate(
+        [jnp.sum(acc_l[0], axis=1, keepdims=True),
+         jnp.sum(acc_l[1], axis=1, keepdims=True),
+         jnp.sum(acc_l[2], axis=1, keepdims=True),
+         jnp.zeros((p, 1), jnp.float32)], axis=1)          # (P, 4)
 
     # Saturation early-exit (c_stop < n_chunks) leaves the in_copy(c_stop)
     # prefetch started by body c_stop-1 un-waited; its semaphore signal
