@@ -275,3 +275,48 @@ def test_tile_geometry_backend_parity_with_binding_cutoff(tile_w, tile_h):
         np.testing.assert_allclose(
             np.asarray(getattr(gp_p, name)), np.asarray(getattr(gp_j, name)),
             atol=1e-4, rtol=1e-3, err_msg=name)
+
+
+def test_saturation_early_exit_parity():
+    """A deep stack of near-opaque Gaussians saturates tiles after a few
+    entries: the Pallas walk's early exit (plus its in-flight-DMA drain
+    and the deferred color accumulator) must reproduce the JAX backend's
+    forward and gradients exactly in interpret mode."""
+    import jax.numpy as jnp
+    from grendel_tpu.testing import make_test_camera, project_test_scene
+
+    cam = make_test_camera(width=64, height=48)
+    # many clustered, large, near-opaque splats -> deep saturating lists
+    _, s = project_test_scene(jax.random.PRNGKey(11), 1200, cam)
+    s = s._replace(opacities=jnp.full_like(s.opacities, 0.999))
+    tx, ty = -(-64 // TILE), -(-48 // TILE)
+    isect = isect_tiles(s.means2d, s.radii, s.depths, TILE, TILE, tx, ty,
+                        capacity=1 << 14)
+    t_ids = jnp.arange(tx * ty, dtype=jnp.int32)
+    px0, py0 = (t_ids % tx) * TILE, (t_ids // tx) * TILE
+
+    def run(rs_fn, m2d, **kw):
+        return rs_fn(m2d, s.conics, s.colors, s.opacities,
+                     isect.gauss_ids, isect.tile_offsets, px0, py0,
+                     TILE, TILE, 1024, **kw)
+
+    col_j, t_j = run(lambda *a, **k: rasterize_slots(*a, 64), s.means2d)
+    col_p, t_p = run(rasterize_slots_pl, s.means2d, interpret=True)
+    # saturation actually happened somewhere: the stop rule freezes T at
+    # ~T_EPS (inclusion stops once t_after < 1e-4, so T lands just above)
+    assert float(jnp.min(t_j)) < 2e-4
+    np.testing.assert_allclose(np.asarray(col_p), np.asarray(col_j),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_j),
+                               atol=1e-6, rtol=1e-5)
+
+    def grads(rs_fn, **kw):
+        def f(m2d):
+            col, t = run(rs_fn, m2d, **kw)
+            return jnp.sum(col * col) + jnp.sum(t)
+        return jax.grad(f)(s.means2d)
+
+    g_j = grads(lambda *a, **k: rasterize_slots(*a, 64))
+    g_p = grads(rasterize_slots_pl, interpret=True)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_j),
+                               atol=1e-4, rtol=1e-3)
