@@ -62,26 +62,23 @@ def _scan_sublanes_excl_i32(x):
     return jnp.where(rows == 0, 0, rolled)
 
 
-def _cumsum_kernel(x_ref, out_ref, carry, *, n_channels):
+def _cumsum_kernel(off_ref, x_ref, out_ref, *, n_channels):
     b = pl.program_id(0)
-
-    @pl.when(b == 0)
-    def _():
-        carry[...] = jnp.zeros_like(carry)
-
     for c in range(n_channels):
         x = x_ref[c]                                   # (R, LANES)
         lane_scan = _scan_lanes_i32(x)
         row_tot = lane_scan[:, LANES - 1:LANES]        # (R, 1)
         row_pref = _scan_sublanes_excl_i32(row_tot)
-        full = lane_scan + row_pref + carry[c, 0, 0]
-        out_ref[c] = full
-        carry[c, 0, 0] = full[ROWS - 1, LANES - 1]
+        # cross-block offset arrives via SMEM (scalar prefetch): Mosaic
+        # cannot store scalars to a VMEM carry, and an XLA block-sum +
+        # tiny exclusive cumsum outside the kernel costs one extra
+        # bandwidth pass while keeping the kernel carry-free
+        out_ref[c] = lane_scan + row_pref + off_ref[c, b]
 
 
 def cumsum_i32_multi(xs, interpret: bool = False) -> list:
     """Inclusive cumsum of each 1-D int32 array in ``xs`` (all the same
-    length) in one fused sequential pass. Bit-identical to jnp.cumsum."""
+    length) in one fused pass. Bit-identical to jnp.cumsum."""
     n_channels = len(xs)
     m = xs[0].shape[0]
     stacked = jnp.stack([x.astype(jnp.int32) for x in xs])     # (C, M)
@@ -91,22 +88,29 @@ def cumsum_i32_multi(xs, interpret: bool = False) -> list:
         stacked = jnp.pad(stacked, ((0, 0), (0, m_pad - m)))
     n_blocks = m_pad // block
     x3 = stacked.reshape(n_channels, n_blocks * ROWS, LANES)
+    # exclusive per-block offsets (int32 adds: exact, any association)
+    block_sums = x3.reshape(n_channels, n_blocks, ROWS * LANES).sum(
+        axis=-1, dtype=jnp.int32)                              # (C, B)
+    offsets = jnp.cumsum(block_sums, axis=1) - block_sums      # (C, B)
 
     kernel = functools.partial(_cumsum_kernel, n_channels=n_channels)
-    out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec((n_channels, ROWS, LANES),
-                               lambda i: (0, i, 0),
+                               lambda i, *_: (0, i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((n_channels, ROWS, LANES),
-                               lambda i: (0, i, 0),
+                               lambda i, *_: (0, i, 0),
                                memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_channels, n_blocks * ROWS, LANES),
                                        jnp.int32),
-        scratch_shapes=[pltpu.VMEM((n_channels, 1, 1), jnp.int32)],
         interpret=interpret,
-    )(x3)
+    )(offsets, x3)
     flat = out.reshape(n_channels, m_pad)[:, :m]
     return [flat[c] for c in range(n_channels)]
 
