@@ -1320,8 +1320,17 @@ class Trainer:
             self._peak_window_start = it0
             self._telemetry_it = it0
         if saved.get("isect_cap_current"):
-            self._isect_cap_current = self._round_cap(
-                saved["isect_cap_current"] * ratio)
+            # bypass _round_cap's HBM-ceiling clamp: at restore time the
+            # ceiling is still the conservative pre-compile default (the
+            # real one is re-derived from XLA memory analysis after the
+            # first compile), and clamping a learned 6M-entry cap back to
+            # 2^22 cost an avoidable grow-recompile every resume
+            from ..utils.hbm import mantissa_round_cap
+
+            self._isect_cap_current = mantissa_round_cap(
+                saved["isect_cap_current"] * ratio,
+                floor=self.isect_cap_floor,
+                align=128 * max(1, self.cfg.dist.bsz))
         if saved.get("kept_peak", 0) > 0:
             self._kept_peak = saved["kept_peak"] * ratio
             self._kept_buckets = [self._kept_peak, self._kept_peak]
