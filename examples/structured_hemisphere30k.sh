@@ -21,7 +21,8 @@ python scripts/train.py --synthetic_structured --synthetic_size 1280x832 \
   --iterations 30000 --bsz 1 --seed 4 --llffhold 8 \
   --test_iterations 3000 7000 11000 15000 20000 25000 30000 \
   --save_iterations 30000 \
-  --checkpoint_iterations 3000 6000 9000 12000 15000 18000 21000 24000 27000 \
+  --checkpoint_iterations 3000 6000 9000 12000 15000 18000 19000 20000 \
+    21000 22000 23000 24000 25000 26000 27000 28000 29000 \
   --auto_start_checkpoint --log_interval 500 \
   --model_path output/structured30k
 python scripts/render.py -m output/structured30k --skip_train
