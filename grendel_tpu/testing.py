@@ -350,7 +350,10 @@ class StructuredSyntheticScene:
         cams = []
         for k, ((dist, elev, _), cnt) in enumerate(zip(rings, counts)):
             for i in range(cnt):
-                az = 2 * np.pi * (i / cnt + k * 0.37)   # stagger rings
+                # stagger rings; keep az in [0, 2pi) so the azimuth sort
+                # below interleaves by TRUE azimuth (an unwrapped stagger
+                # offset scrambled the wrap seam — ADVICE r4)
+                az = 2 * np.pi * ((i / cnt + k * 0.37) % 1.0)
                 pos = target + np.array([
                     dist * np.cos(elev) * np.cos(az),
                     -dist * np.sin(elev),               # world -y is up

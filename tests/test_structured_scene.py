@@ -115,3 +115,18 @@ def test_structured_scene_heldout_psnr_improves(tmp_path, eight_devices):
     r1 = trainer.eval_psnr(scene.test_cameras, sh_degree=1)
     assert r1["psnr"] > r0["psnr"] + 2.0, (r0, r1)
     assert np.isfinite(r1["l1"])
+
+
+def test_cameras_interleave_by_true_azimuth():
+    """The llffhold split property: sorting key is the TRUE azimuth in
+    [0, 2pi) — the staggered rings' offsets must not unwrap past the seam
+    (ADVICE r4), so held-out views sit between training views."""
+    import numpy as np
+    from grendel_tpu.testing import StructuredSyntheticScene
+
+    sc = StructuredSyntheticScene(width=96, height=64, n_cams=24,
+                                  n_init_points=500, seed=0)
+    cams = sorted(sc.train_cameras + sc.test_cameras, key=lambda c: c.uid)
+    az = [float(np.arctan2(c.camera_center[2], c.camera_center[0]))
+          % (2 * np.pi) for c in cams]
+    assert az == sorted(az), "uid order must be true-azimuth order"
